@@ -1,0 +1,175 @@
+"""Problem definition API: traits + problem classes + a name registry.
+
+TPU-native equivalent of the reference's per-problem compile-time template
+specializations (`Physics_Traits`, `quokka::EOS_Traits`,
+`HydroSystem_Traits`, `RadSystem_Traits`, IC/BC hooks; see reference
+``src/physics_info.hpp:8``, ``src/hydro/EOS.hpp:32``,
+``src/hydro/hydro_system.hpp:38``, ``src/radiation/radiation_system.hpp:73``
+and e.g. ``src/problems/HydroShocktube/test_hydro_shocktube.cpp:26-383``).
+
+A problem is a Python class with trait dataclasses as attributes plus hook
+methods; traits are frozen dataclasses so they can be jit-static.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple, Type
+
+import jax.numpy as jnp
+
+from .eos import IdealGasEOS, C_LIGHT_CGS
+from .indices import StateLayout
+
+
+@dataclass(frozen=True)
+class PhysicsTraits:
+    """Which physics are enabled (reference `Physics_Traits`)."""
+
+    hydro_enabled: bool = True
+    radiation_enabled: bool = False
+    mhd_enabled: bool = False
+    gravity_enabled: bool = False
+    n_scalars: int = 0  # passive scalars
+    n_mscalars: int = 0  # mass scalars (subset of passive scalars)
+    n_groups: int = 1  # radiation groups
+
+    def layout(self) -> StateLayout:
+        return StateLayout(
+            hydro_enabled=self.hydro_enabled,
+            radiation_enabled=self.radiation_enabled,
+            n_scalars=self.n_scalars,
+            n_mscalars=self.n_mscalars,
+            n_groups=self.n_groups,
+        )
+
+
+@dataclass(frozen=True)
+class EOSTraits:
+    """EOS constants (reference `quokka::EOS_Traits`)."""
+
+    gamma: float = 5.0 / 3.0
+    mean_molecular_weight: float = 1.66053906892e-24
+    boltzmann_constant: float = 1.380649e-16
+    cs_isothermal: float = float("nan")
+
+    def make_eos(self) -> IdealGasEOS:
+        return IdealGasEOS(
+            gamma=self.gamma,
+            mean_molecular_weight=self.mean_molecular_weight,
+            boltzmann_constant=self.boltzmann_constant,
+            cs_isothermal=self.cs_isothermal,
+        )
+
+
+@dataclass(frozen=True)
+class HydroTraits:
+    """Hydro solver options (reference `HydroSystem_Traits`)."""
+
+    reconstruct_eint: bool = True  # reconstruct e_int instead of pressure
+
+
+@dataclass(frozen=True)
+class RadTraits:
+    """Radiation solver constants (reference `RadSystem_Traits`,
+    ``src/radiation/radiation_system.hpp:73-84``)."""
+
+    c_light: float = C_LIGHT_CGS
+    c_hat: float = C_LIGHT_CGS  # reduced speed of light
+    radiation_constant: float = 7.565731356724124e-15
+    Erad_floor: float = 0.0
+    beta_order: int = 1  # relativistic correction order in v/c
+    energy_unit: float = 1.0  # converts group boundaries to erg if needed
+    group_edges: Tuple[float, ...] = ()  # photon energy group boundaries
+
+
+# Boundary condition kinds per (axis, side); mirrors amrex::BCType used by the
+# reference (int_dir / foextrap / reflect / ext_dir).
+BC_PERIODIC = "periodic"
+BC_OUTFLOW = "outflow"
+BC_REFLECT = "reflect"
+BC_USER = "user"  # ext_dir: problem supplies fill_user_boundary hook
+
+
+@dataclass(frozen=True)
+class BCSpec:
+    """Boundary conditions: one kind per (axis, lo/hi side)."""
+
+    x: Tuple[str, str] = (BC_PERIODIC, BC_PERIODIC)
+    y: Tuple[str, str] = (BC_PERIODIC, BC_PERIODIC)
+    z: Tuple[str, str] = (BC_PERIODIC, BC_PERIODIC)
+
+    def axis(self, d: int) -> Tuple[str, str]:
+        return (self.x, self.y, self.z)[d]
+
+    def is_periodic(self, d: int) -> bool:
+        lo, hi = self.axis(d)
+        return lo == BC_PERIODIC and hi == BC_PERIODIC
+
+
+class Problem:
+    """Base class for problem definitions.
+
+    Subclasses override trait attributes and hooks. Hook parity with the
+    reference's pure-virtual / specialization points
+    (``src/simulation.hpp:220-247``):
+      - set_initial_conditions(grid) -> U[nvar, nx, ny, nz]
+      - fill_user_boundary(Ug, grid, ng, time, axis, side) (ext_dir BCs)
+      - compute_reference_solution(sim) -> U_exact (enables L1 self-check)
+      - error_est(sim, level) -> bool tag array (AMR refinement)
+      - compute_derived_var(name, sim) -> array
+    """
+
+    name: str = "problem"
+    physics: PhysicsTraits = PhysicsTraits()
+    eos_traits: EOSTraits = EOSTraits()
+    hydro: HydroTraits = HydroTraits()
+    rad: RadTraits = RadTraits()
+    bcs: BCSpec = BCSpec()
+
+    # ------------------------------------------------------------------ hooks
+    def set_initial_conditions(self, grid):
+        raise NotImplementedError
+
+    def fill_user_boundary(self, Ug, grid, ng, time, axis, side):
+        """Fill ext_dir ghost zones in the padded array Ug; returns Ug."""
+        raise NotImplementedError(
+            f"{type(self).__name__} declares BC_USER but does not implement "
+            "fill_user_boundary()"
+        )
+
+    def compute_reference_solution(self, sim):
+        return None
+
+    def error_est(self, sim, level: int):
+        return None
+
+    def compute_derived_var(self, name: str, sim):
+        raise NotImplementedError(name)
+
+    def compute_before_timestep(self, sim):
+        pass
+
+    def compute_after_evolve(self, sim):
+        pass
+
+    def compute_statistics(self, sim) -> Dict[str, float]:
+        return {}
+
+
+# ------------------------------------------------------------------ registry
+_PROBLEMS: Dict[str, Type[Problem]] = {}
+
+
+def register_problem(cls: Type[Problem]) -> Type[Problem]:
+    """Class decorator: register a problem under its `name` attribute."""
+    _PROBLEMS[cls.name] = cls
+    return cls
+
+
+def get_problem(name: str) -> Type[Problem]:
+    return _PROBLEMS[name]
+
+
+def problem_names():
+    return sorted(_PROBLEMS)

@@ -1,0 +1,319 @@
+"""The simulation driver: state ownership, evolve loop, timestep control.
+
+TPU-native rebuild of `AMRSimulation` + `QuokkaSimulation` (reference
+``src/simulation.hpp:141`` and ``src/QuokkaSimulation.hpp:64``): owns the
+level state, the `evolve()` loop, CFL timestep computation with the dt
+change limiter, the hydro retry ladder, radiation subcycling, conservation
+audit, the performance figure-of-merit, plotfile/checkpoint output, and the
+L1 error-norm self-check against a problem's reference solution.
+
+Host Python orchestrates only O(steps * levels) control flow, exactly as the
+reference's host C++ does; everything per-cell is inside a single jitted
+step function per level (shard_mapped over the device mesh when multi-chip).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boundaries import fill_ghosts
+from .config import ParmParse
+from .eos import IdealGasEOS
+from .grid import Grid
+from .hydro import advance as hydro_advance
+from .hydro import euler
+from .hydro.advance import HydroOptions
+from .indices import EGAS, RHO
+from .registry import Problem
+from .stencil import ghost_widths
+
+
+class Simulation:
+    """Single-level (unigrid) simulation driver.
+
+    AMR (multi-level state, regridding, subcycling, refluxing) extends this
+    class; the unigrid path is also the per-level building block there.
+    """
+
+    def __init__(self, problem: Problem, pp: Optional[ParmParse] = None, *,
+                 decomp=None, precision: str | None = None):
+        self.problem = problem
+        self.pp = pp or ParmParse()
+
+        # ---- geometry (reference: amr.n_cell / geometry.* ParmParse keys)
+        n_cell = self.pp.get_list("amr.n_cell", [64, 1, 1])
+        while len(n_cell) < 3:
+            n_cell.append(1)
+        prob_lo = self.pp.get_list("geometry.prob_lo", [0.0, 0.0, 0.0])
+        prob_hi = self.pp.get_list("geometry.prob_hi", [1.0, 1.0, 1.0])
+        while len(prob_lo) < 3:
+            prob_lo.append(0.0)
+        while len(prob_hi) < 3:
+            prob_hi.append(1.0)
+        self.grid = Grid(tuple(n_cell), tuple(prob_lo), tuple(prob_hi))
+
+        # ---- precision policy
+        prec = precision or self.pp.get_str("precision", "double")
+        self.dtype = jnp.float64 if prec == "double" else jnp.float32
+
+        # ---- runtime knobs (defaults mirror the reference's readParameters,
+        # src/simulation.hpp:541-636, and readParmParse, QuokkaSimulation.hpp:340-396)
+        self.cfl = self.pp.get_float("cfl", 0.3)
+        self.stop_time = self.pp.get_float("stop_time", 1.0)
+        self.max_timesteps = self.pp.get_int("max_timesteps", 10000)
+        self.init_dt = self.pp.get_float("init_dt", 1.0e30)
+        self.max_dt = self.pp.get_float("max_dt", 1.0e30)
+        self.constant_dt = self.pp.get_float("constant_dt", -1.0)
+        self.plotfile_interval = self.pp.get_int("plotfile_interval", -1)
+        self.checkpoint_interval = self.pp.get_int("checkpoint_interval", -1)
+        self.verbose = self.pp.get_int("verbose", 1)
+
+        hpp = self.pp
+        self.layout = problem.physics.layout()
+        self.eos: IdealGasEOS = problem.eos_traits.make_eos()
+
+        ng = 4  # nghost_cc: PPM + flattening (reference src/simulation.hpp:363)
+        self.ng = ghost_widths(self.grid, ng)
+        self.periodic = tuple(problem.bcs.is_periodic(d) for d in range(3))
+
+        self.hydro_opts = HydroOptions(
+            eos=self.eos,
+            active_axes=self.grid.active_axes,
+            dx=self.grid.dx,
+            nghost=ng,
+            reconstruction_order=hpp.get_int("hydro.reconstruction_order", 3),
+            use_flattening=bool(hpp.get_int("hydro.use_flattening", 1)),
+            reconstruct_eint=problem.hydro.reconstruct_eint,
+            riemann="hllc",
+            K_visc=hpp.get_float("hydro.artificial_viscosity_coefficient", 0.0),
+            n_scalars=problem.physics.n_scalars,
+            n_mscalars=problem.physics.n_mscalars,
+            density_floor=hpp.get_float("density_floor", 0.0),
+            temperature_floor=hpp.get_float("temperature_floor", 0.0),
+            use_dual_energy=bool(hpp.get_int("hydro.use_dual_energy", 1)),
+            rk_order=hpp.get_int("hydro.rk_integrator_order", 2),
+        )
+
+        # ---- domain decomposition over the device mesh (multi-chip)
+        if decomp == "auto":
+            from .parallel.decomp import make_decomposition
+
+            decomp = make_decomposition(self.grid.n_cell)
+        self.decomp = decomp
+
+        # ---- dynamic state
+        self.U: Optional[jnp.ndarray] = None
+        self.t = 0.0
+        self.dt_prev = float("inf")
+        self.istep = 0
+        self.cell_updates = 0
+        self.error_norm = float("nan")
+        self.init_sums: Optional[np.ndarray] = None
+        self._radiation = None  # attached lazily when radiation is enabled
+
+        self._build_compiled()
+
+    # ------------------------------------------------------------- compiled fns
+    def _fill(self, U, time=0.0):
+        return fill_ghosts(
+            U, self.ng, self.problem.bcs, self.layout,
+            problem=self.problem, grid=self.grid, time=time,
+        )
+
+    def _build_compiled(self):
+        opts = self.hydro_opts
+        ng = self.ng
+        periodic = self.periodic
+
+        if self.decomp is not None:
+            from .parallel.sharded import build_sharded_step
+
+            self._step_jit = build_sharded_step(
+                opts, self.decomp, ng, periodic, self.problem.bcs, self.layout,
+                self.problem, self.grid,
+            )
+        else:
+            def step(U, dt):
+                U_new, stats = hydro_advance.advance_hydro_rk2(
+                    U, dt, opts, self._fill, ng, periodic
+                )
+                # post-step CFL / validity diagnostics (reference isCflViolated,
+                # src/QuokkaSimulation.hpp:992-1013)
+                smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
+                all_valid = jnp.all(euler.is_state_valid(U_new, opts.eos))
+                return U_new, {"max_signal": smax, "valid": all_valid, **stats}
+
+            self._step_jit = jax.jit(step)
+
+        def max_signal(U):
+            return jnp.max(euler.max_signal_speed(U, self.eos))
+
+        self._max_signal_jit = jax.jit(max_signal)
+
+        def sums(U):
+            return jnp.sum(U, axis=(1, 2, 3)) * self.grid.cell_volume()
+
+        self._sums_jit = jax.jit(sums)
+
+    # ------------------------------------------------------------------- setup
+    def set_initial_conditions(self):
+        U = self.problem.set_initial_conditions(self.grid)
+        U = jnp.asarray(U, dtype=self.dtype)
+        expected = (self.layout.nvar, *self.grid.n_cell)
+        if U.shape != expected:
+            raise ValueError(f"IC shape {U.shape} != expected {expected}")
+        if self.decomp is not None:
+            U = jax.device_put(U, self.decomp.state_sharding())
+        self.U = U
+        self.init_sums = np.asarray(self._sums_jit(U))
+        if self.layout.radiation_enabled:
+            self._attach_radiation()
+
+    def _attach_radiation(self):
+        from .radiation.advance import RadiationAdvance
+
+        self._radiation = RadiationAdvance(self)
+
+    # ---------------------------------------------------------------- timestep
+    def compute_timestep(self) -> float:
+        if self.constant_dt > 0.0:
+            dt = self.constant_dt
+        else:
+            smax = float(self._max_signal_jit(self.U))
+            dt = self.cfl * self.grid.dx_min / smax
+            dt = min(dt, 1.1 * self.dt_prev)  # change_max limiter
+            dt = min(dt, self.max_dt)
+            if self.t == 0.0:
+                dt = min(dt, self.init_dt)
+        # avoid overshooting stop_time (reference src/simulation.hpp:805-809)
+        eps = 1.0e-3 * dt
+        if self.t + dt > self.stop_time - eps:
+            dt = self.stop_time - self.t
+        return dt
+
+    # ------------------------------------------------------------------ evolve
+    def advance_single_step(self, dt: float) -> bool:
+        """One hydro(+radiation) step with the retry ladder (reference
+        `advanceHydroAtLevelWithRetries`, ``src/QuokkaSimulation.hpp:886-990``).
+        Returns True on success (self.U/self.t updated)."""
+        max_retries = 6
+        U_start = self.U
+        for retry in range(max_retries + 1):
+            nsub = 2**retry
+            dt_sub = dt / nsub
+            U = U_start
+            ok = True
+            for _ in range(nsub):
+                U, stats = self._step_jit(U, dt_sub)
+                # failure: invalid state or post-step CFL violation
+                valid = bool(stats["valid"])
+                smax = float(stats["max_signal"])
+                dt_cfl = self.cfl * self.grid.dx_min / smax
+                cfl_violated = dt_sub > 1.1 * dt_cfl
+                if not (valid and not cfl_violated):
+                    ok = False
+                    break
+                if self._radiation is not None:
+                    U = self._radiation.subcycle(U, self.t, dt_sub)
+            if ok:
+                self.U = U
+                return True
+            if self.verbose:
+                print(
+                    f"\t>> Re-trying hydro advance with reduced timestep "
+                    f"(nsubsteps={2*nsub}, dt={dt/(2*nsub):.3e})"
+                )
+        return False
+
+    def evolve(self):
+        if self.U is None:
+            self.set_initial_conditions()
+
+        start_walltime = _time.perf_counter()
+        ncells = self.grid.num_cells
+
+        while self.t < self.stop_time * (1.0 - 1e-14) and self.istep < self.max_timesteps:
+            self.problem.compute_before_timestep(self)
+            dt = self.compute_timestep()
+            if dt <= 0.0:
+                break
+            if self.verbose:
+                print(f"Coarse STEP {self.istep + 1} starts t = {self.t:.6e} dt = {dt:.6e}")
+
+            ok = self.advance_single_step(dt)
+            if not ok:
+                raise RuntimeError(
+                    f"Hydro update exceeded max_retries at step {self.istep}; cannot continue."
+                )
+
+            self.t += dt
+            self.dt_prev = dt
+            self.istep += 1
+            self.cell_updates += ncells
+
+            if self.plotfile_interval > 0 and self.istep % self.plotfile_interval == 0:
+                self.write_plotfile()
+            if self.checkpoint_interval > 0 and self.istep % self.checkpoint_interval == 0:
+                self.write_checkpoint()
+
+        jax.block_until_ready(self.U)
+        elapsed = _time.perf_counter() - start_walltime
+
+        # performance FOM (reference src/simulation.hpp:972-980)
+        if elapsed > 0 and self.cell_updates > 0:
+            mzones = self.cell_updates / elapsed / 1.0e6
+            self.zone_updates_per_second = mzones * 1.0e6
+            if self.verbose:
+                print(f"Performance figure-of-merit: {elapsed/self.cell_updates*1e6:.6f} μs/zone-update [={mzones:.3f} Mupdates/s]")
+        else:
+            self.zone_updates_per_second = 0.0
+
+        self._conservation_audit()
+        self._compute_error_norm()
+        self.problem.compute_after_evolve(self)
+
+    # ------------------------------------------------------------- diagnostics
+    def _conservation_audit(self):
+        final = np.asarray(self._sums_jit(self.U))
+        init = self.init_sums
+        self.conservation_abs_err = final - init
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.conservation_rel_err = np.where(init != 0, (final - init) / init, np.nan)
+        if self.verbose:
+            Egas0, Egas = init[EGAS], final[EGAS]
+            print(f"\nInitial gas energy = {Egas0:.12e}")
+            print(f"Final gas energy   = {Egas:.12e}")
+            if Egas0 != 0:
+                print(f"\trelative conservation error = {(Egas - Egas0)/Egas0:.3e}\n")
+
+    def _compute_error_norm(self):
+        """Relative rms-of-L1 error norm against the problem's reference
+        solution (reference `computeAfterEvolve`,
+        ``src/QuokkaSimulation.hpp:620-645``)."""
+        ref = self.problem.compute_reference_solution(self)
+        if ref is None:
+            return
+        ref = jnp.asarray(ref, dtype=self.dtype)
+        resid = ref - self.U
+        sol_norm = jnp.sqrt(jnp.sum(jnp.sum(jnp.abs(ref), axis=(1, 2, 3)) ** 2))
+        err_norm = jnp.sqrt(jnp.sum(jnp.sum(jnp.abs(resid), axis=(1, 2, 3)) ** 2))
+        self.error_norm = float(err_norm / sol_norm)
+        if self.verbose:
+            print(f"Relative rms L1 error norm = {self.error_norm:.6e}")
+
+    # -------------------------------------------------------------------- I/O
+    def write_plotfile(self, prefix: str = "plt"):
+        from .io.plotfile import write_plotfile
+
+        write_plotfile(self, prefix)
+
+    def write_checkpoint(self, prefix: str = "chk"):
+        from .io.checkpoint import write_checkpoint
+
+        write_checkpoint(self, prefix)

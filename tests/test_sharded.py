@@ -1,0 +1,73 @@
+"""Multi-device correctness: the shard_mapped step must reproduce the
+single-device solver (same math, halos via ppermute instead of wrap/pad).
+
+Runs on the virtual 8-device CPU mesh (see conftest.py), mirroring the
+reference's strategy of exercising domain decomposition even in single-rank
+CI (SURVEY.md §4 item 2).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.parallel.decomp import make_decomposition
+from quokka_tpu.problems.shocktube import ShocktubeProblem
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+SHOCKTUBE_IN = """
+geometry.prob_lo = 0.0 0.0 0.0
+geometry.prob_hi = 5.0 1.0 1.0
+amr.n_cell = 256 1 1
+cfl = 0.6
+stop_time = 0.05
+max_timesteps = 100
+hydro.reconstruction_order = 3
+verbose = 0
+"""
+
+
+def _run(decomp):
+    pp = ParmParse.from_string(SHOCKTUBE_IN)
+    sim = Simulation(ShocktubeProblem(), pp, decomp=decomp)
+    sim.set_initial_conditions()
+    sim.evolve()
+    return np.asarray(sim.U), sim.t
+
+
+def test_sharded_matches_single_device():
+    U1, t1 = _run(None)
+    decomp = make_decomposition((256, 1, 1), tiles=(8, 1, 1))
+    U8, t8 = _run(decomp)
+    assert t1 == t8
+    # identical numerics up to FP reassociation in XLA partitioning
+    np.testing.assert_allclose(U8, U1, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_periodic_3d():
+    """3D periodic blast on a 2x2x2 mesh: finite, conservative."""
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1. 1. 1.
+        amr.n_cell = 32 32 32
+        cfl = 0.3
+        stop_time = 0.02
+        max_timesteps = 10
+        verbose = 0
+        """
+    )
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    decomp = make_decomposition((32, 32, 32), tiles=(2, 2, 2))
+    sim = Simulation(SedovProblem(), pp, decomp=decomp)
+    sim.set_initial_conditions()
+    sim.evolve()
+    U = np.asarray(sim.U)
+    assert np.all(np.isfinite(U))
+    # mass and energy conservation (periodic box)
+    assert abs(sim.conservation_rel_err[0]) < 1e-12
+    assert abs(sim.conservation_rel_err[4]) < 1e-12
