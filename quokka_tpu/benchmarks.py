@@ -1,0 +1,96 @@
+"""Benchmark runners: fully on-device evolve loops.
+
+The reference's benchmark FOM is million zone-updates/s/GPU printed by
+`evolve()` (reference ``src/simulation.hpp:972-980``), driven by
+``tests/benchmark_unigrid_*.in`` (Sedov blast). Here the benchmark loop is a
+single `lax.scan` over timesteps with the CFL timestep computed *in-graph*
+(dt = cfl * dx_min / pmax(|v|+cs), with the 1.1x change limiter), so a whole
+benchmark run is one XLA program with zero host round-trips -- the
+TPU-native equivalent of the reference's per-step MPI+host loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .hydro import advance as hydro_advance
+from .hydro import euler
+
+
+def build_scan_runner(sim, n_steps: int):
+    """Returns jitted `(U, dt_prev) -> (U_final, dt_last, t_elapsed)` running
+    `n_steps` hydro steps on-device for the given Simulation's config."""
+    opts = sim.hydro_opts
+    ng = sim.ng
+    periodic = sim.periodic
+    cfl = sim.cfl
+    dx_min = sim.grid.dx_min
+
+    if sim.decomp is not None:
+        from .parallel.decomp import AXIS_NAMES
+        from .parallel.halo import make_sharded_fill, make_sharded_mask_fill
+
+        decomp = sim.decomp
+        fill = make_sharded_fill(decomp, ng, sim.problem.bcs, sim.layout,
+                                 sim.problem, sim.grid)
+        mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
+        red_axes = tuple(AXIS_NAMES[d] for d in decomp.sharded_dims())
+    else:
+        fill = sim._fill
+        mask_fill = None
+        red_axes = ()
+
+    def body(carry, _):
+        U, dt_prev, t = carry
+        smax = jnp.max(euler.max_signal_speed(U, opts.eos))
+        if red_axes:
+            smax = lax.pmax(smax, red_axes)
+        dt = jnp.minimum(cfl * dx_min / smax, 1.1 * dt_prev)
+        U_new, _stats = hydro_advance.advance_hydro_rk2(
+            U, dt, opts, fill, ng, periodic, mask_fill
+        )
+        return (U_new, dt, t + dt), None
+
+    def run(U, dt_init):
+        (U_f, dt_f, t_f), _ = lax.scan(body, (U, dt_init, jnp.zeros_like(dt_init)),
+                                       None, length=n_steps)
+        return U_f, dt_f, t_f
+
+    if sim.decomp is not None:
+        from jax.sharding import PartitionSpec as P
+
+        spec = sim.decomp.state_spec()
+        run = jax.shard_map(
+            run, mesh=sim.decomp.mesh,
+            in_specs=(spec, P()), out_specs=(spec, P(), P()),
+            check_vma=False,
+        )
+    return jax.jit(run)
+
+
+def bench_hydro(sim, n_warmup: int = 2, n_steps: int = 10, dt_init: float = 1e-8):
+    """Time `n_steps` on-device steps; returns (Mzones_per_sec, seconds)."""
+    import time
+
+    if sim.U is None:
+        sim.set_initial_conditions()
+
+    dtype = sim.U.dtype
+    warm = build_scan_runner(sim, n_warmup)
+    runner = build_scan_runner(sim, n_steps)
+
+    U, dt, _t = warm(sim.U, jnp.asarray(dt_init, dtype=dtype))
+    jax.block_until_ready(U)
+
+    t0 = time.perf_counter()
+    U2, dt2, _t2 = runner(U, dt)
+    jax.block_until_ready(U2)
+    elapsed = time.perf_counter() - t0
+
+    zones = sim.grid.num_cells * n_steps
+    return zones / elapsed / 1e6, elapsed

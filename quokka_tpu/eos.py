@@ -68,8 +68,11 @@ class IdealGasEOS:
         c_v = self.boltzmann_constant / (self.mean_molecular_weight * (self.gamma - 1.0))
         return rho * c_v * T
 
-    def eint_temp_derivative(self, rho):
-        """d(Eint)/dT at constant rho (= rho * c_v)."""
+    def eint_temp_derivative(self, rho, T):
+        """d(Eint)/dT at constant rho (= rho * c_v); T-independent for the
+        ideal gas, but problems may override with T-dependent heat capacity
+        (as the reference's Su-Olson-type EOS specializations do)."""
+        del T
         c_v = self.boltzmann_constant / (self.mean_molecular_weight * (self.gamma - 1.0))
         return rho * c_v
 

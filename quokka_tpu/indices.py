@@ -58,7 +58,10 @@ class StateLayout:
 
     @property
     def nvar_hydro(self) -> int:
-        return (NVAR_HYDRO + self.n_scalars) if self.hydro_enabled else 0
+        # the gas block is always present (radiation-only problems still
+        # carry gas fields for the matter coupling, as in the reference's
+        # Physics_Indices); `hydro_enabled` only gates the hydro *solver*
+        return NVAR_HYDRO + self.n_scalars
 
     @property
     def nvar_rad(self) -> int:
@@ -77,17 +80,15 @@ class StateLayout:
         return self.rad_start + NVAR_RAD_PER_GROUP * group + comp
 
     def component_names(self) -> list[str]:
-        names = []
-        if self.hydro_enabled:
-            names += [
-                "gasDensity",
-                "x-GasMomentum",
-                "y-GasMomentum",
-                "z-GasMomentum",
-                "gasEnergy",
-                "gasInternalEnergy",
-            ]
-            names += [f"scalar_{i}" for i in range(self.n_scalars)]
+        names = [
+            "gasDensity",
+            "x-GasMomentum",
+            "y-GasMomentum",
+            "z-GasMomentum",
+            "gasEnergy",
+            "gasInternalEnergy",
+        ]
+        names += [f"scalar_{i}" for i in range(self.n_scalars)]
         if self.radiation_enabled:
             for g in range(self.n_groups):
                 names += [

@@ -1,0 +1,150 @@
+"""Radiation subcycling driver: IMEX PD-ARS substeps within a hydro step.
+
+TPU-native rebuild of `QuokkaSimulation::subcycleRadiationAtLevel` +
+`advanceRadiationForwardEuler` / `advanceRadiationMidpointRK2` /
+`operatorSplitSourceTerms` (reference ``src/QuokkaSimulation.hpp:
+1577-1916``). Each radiation substep is one jitted function:
+
+  1. forward-Euler transport predict (fluxes from the old state),
+  2. stage-1 implicit matter coupling (gas advanced by IMEX_a32 * dt),
+  3. midpoint-RK2 transport combine (fluxes from the intermediate state),
+  4. stage-2 implicit matter coupling ((1 - IMEX_a32) * dt).
+
+The number of substeps is ceil(dt_hydro / (CFL_rad dx / c_hat)) as in the
+reference (``:397-406``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..stencil import interior
+from .source_terms import add_source_terms_single_group
+from .system import RadOptions, add_fluxes_rk2, compute_rad_fluxes, predict_step, rad_div_fluxes
+
+
+class RadiationAdvance:
+    """Per-simulation radiation subsystem (built lazily when
+    `Physics_Traits.radiation_enabled`)."""
+
+    def __init__(self, sim):
+        self.sim = sim
+        problem = sim.problem
+        rt = problem.rad
+        pp = sim.pp
+
+        self.opts = RadOptions(
+            c=rt.c_light,
+            chat=rt.c_hat,
+            arad=rt.radiation_constant,
+            erad_floor=rt.Erad_floor,
+            beta_order=rt.beta_order,
+            reconstruction_order=pp.get_int("radiation.reconstruction_order", 3),
+            use_wavespeed_correction=bool(pp.get_int("radiation.wavespeed_correction", 0)),
+            cfl=pp.get_float("radiation.cfl", 0.3),
+            max_substeps=pp.get_int("radiation.max_substeps", 10),
+            include_work_term=bool(pp.get_int("radiation.include_work_term", 1)),
+            n_groups=problem.physics.n_groups,
+        )
+        if self.opts.n_groups != 1:
+            raise NotImplementedError("multigroup radiation lands with radiation/multigroup.py")
+
+        self.rad_start = sim.layout.rad_start
+        self._build()
+
+    def _build(self):
+        sim = self.sim
+        opts = self.opts
+        rad_start = self.rad_start
+        ng = sim.ng
+        dx = sim.grid.dx
+        active = sim.grid.active_axes
+        eos = sim.eos
+        problem = sim.problem
+        G = opts.n_groups
+
+        kappa_p = problem.compute_planck_opacity
+        kappa_e = problem.compute_energy_mean_opacity
+        kappa_f = problem.compute_flux_mean_opacity
+
+        def rad_part(U):
+            return U[rad_start:].reshape(G, 4, *U.shape[1:])
+
+        def with_rad(U, R):
+            return U.at[rad_start:].set(R.reshape(G * 4, *U.shape[1:]))
+
+        def substep(U, time, dt):
+            rad_src = problem.set_radiation_energy_source(sim.grid, time)
+
+            # stage 1: forward-Euler transport
+            Ug0 = sim._fill(U)
+            fluxes0 = compute_rad_fluxes(Ug0, rad_start, opts, active, dx)
+            divF0 = interior(rad_div_fluxes(fluxes0, dx), ng)
+            R0 = rad_part(U)
+            R1 = predict_step(R0, divF0, dt, opts)
+            U1 = with_rad(U, R1)
+
+            # stage-1 matter coupling (IMEX_a22 = 1 > 0)
+            U1, st1 = add_source_terms_single_group(
+                U1, rad_src, dt, 1, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
+            )
+
+            # stage 2: midpoint RK2 transport from the source-updated state
+            Ug1 = sim._fill(U1)
+            fluxes1 = compute_rad_fluxes(Ug1, rad_start, opts, active, dx)
+            divF1 = interior(rad_div_fluxes(fluxes1, dx), ng)
+            R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
+            U2 = with_rad(U1, R_new)
+
+            # stage-2 matter coupling
+            U2, st2 = add_source_terms_single_group(
+                U2, rad_src, dt, 2, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
+            )
+            return U2, {"newton_iters_max": jnp.maximum(st1["newton_iters_max"], st2["newton_iters_max"])}
+
+        self._substep_jit = jax.jit(substep)
+
+        # device-side multi-substep runner: one lax.scan per call (used for
+        # subcycles and long constant-dt radiation runs; avoids per-substep
+        # host dispatch, which the reference's host loop pays on every step)
+        def run_steps(U, t0, dt, n):
+            def body(carry, _):
+                U_c, t_c = carry
+                U_n, _st = substep(U_c, t_c, dt)
+                return (U_n, t_c + dt), None
+
+            (U_f, t_f), _ = jax.lax.scan(body, (U, t0), None, length=n)
+            return U_f
+
+        self._run_steps_jit = jax.jit(run_steps, static_argnames=("n",))
+
+    def n_substeps(self, dt_hydro: float) -> int:
+        """ceil(dt_hydro / (CFL_rad dx_min / c_hat)), clamped to
+        max_substeps+1 (reference computeNumberOfRadiationSubsteps)."""
+        sim = self.sim
+        if not sim.layout.hydro_enabled or sim.constant_dt > 0.0:
+            return 1
+        dt_rad = self.opts.cfl * sim.grid.dx_min / self.opts.chat
+        n = max(1, int(math.ceil(dt_hydro / dt_rad)))
+        if n > self.opts.max_substeps + 1:
+            raise RuntimeError(
+                f"radiation substeps {n} exceeds max_substeps={self.opts.max_substeps}"
+            )
+        return n
+
+    def subcycle(self, U, time: float, dt_hydro: float):
+        nsub = self.n_substeps(dt_hydro)
+        dt_rad = dt_hydro / nsub
+        if nsub == 1:
+            U, _stats = self._substep_jit(U, time, dt_rad)
+            return U
+        return self._run_steps_jit(U, time, dt_rad, nsub)
+
+    def run_steps(self, U, t0: float, dt: float, n: int):
+        """Run `n` radiation substeps of size `dt` on-device (lax.scan)."""
+        return self._run_steps_jit(U, t0, dt, n)

@@ -1,0 +1,228 @@
+"""Two-moment (M1) radiation transport: closure, HLL fluxes, IMEX stages.
+
+TPU-native rebuild of `RadSystem<problem_t>` transport kernels (reference
+``src/radiation/radiation_system.hpp:157-1140``): Levermore 1984 M1 closure,
+frozen-Eddington-tensor HLL flux with Skinner & Ostriker 2013 eigenvalues,
+reduced speed of light (c_hat < c), optional asymptotic-preserving
+optical-depth wavespeed correction, and the IMEX PD-ARS transport stages
+(forward-Euler predict + weighted RK2 combine, constants IMEX_a22 = 1,
+IMEX_a32 = 0.5, reference ``:51-52``).
+
+State layout per group: [E_rad, Fx, Fy, Fz]; primitive variables are
+[E_rad, fx, fy, fz] with f = F/(cE) the reduced flux. All kernels are fused
+jnp stencils over the padded level array, grouped as R[G, 4, X, Y, Z].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..stencil import sh
+from ..indices import EGAS, MX1, RHO
+from ..hydro import reconstruct
+
+# IMEX PD-ARS constants (reference src/radiation/radiation_system.hpp:51-52)
+IMEX_A22 = 1.0
+IMEX_A32 = 0.5
+
+
+@dataclass(frozen=True)
+class RadOptions:
+    """Static radiation solver configuration (RadSystem_Traits +
+    radiation.* runtime knobs)."""
+
+    c: float
+    chat: float
+    arad: float
+    erad_floor: float = 0.0
+    beta_order: int = 1
+    reconstruction_order: int = 3
+    use_wavespeed_correction: bool = False
+    cfl: float = 0.3
+    max_substeps: int = 10
+    include_work_term: bool = True
+    n_groups: int = 1
+
+
+def eddington_factor(f: jnp.ndarray) -> jnp.ndarray:
+    """Levermore 1984 M1 closure chi(f), f = |F|/(cE) in [0,1]
+    (reference `ComputeEddingtonFactor`, ``radiation_system.hpp:773-790``)."""
+    f = jnp.clip(f, 0.0, 1.0)
+    f_fac = jnp.sqrt(4.0 - 3.0 * f * f)
+    return (3.0 + 4.0 * f * f) / (5.0 + 2.0 * f_fac)
+
+
+def eddington_tensor(fx, fy, fz):
+    """3x3 Eddington tensor from the reduced flux vector (reference
+    `ComputeEddingtonTensor`, ``radiation_system.hpp:874-916``)."""
+    f = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+    safe = jnp.where(f > 0.0, f, 1.0)
+    n = [jnp.where(f > 0.0, fx / safe, 0.0),
+         jnp.where(f > 0.0, fy / safe, 0.0),
+         jnp.where(f > 0.0, fz / safe, 0.0)]
+    chi = eddington_factor(f)
+    Tdiag = 0.5 * (1.0 - chi)
+    Tf = 0.5 * (3.0 * chi - 1.0)
+    T = [[Tdiag * (1.0 if i == j else 0.0) + Tf * n[i] * n[j] for j in range(3)]
+         for i in range(3)]
+    return T
+
+
+def _rad_pressure_flux(erad, F3, f3, axis):
+    """(F_canonical[4], S) for one side of an interface: transport flux in
+    the frozen-Eddington approximation (reference `ComputeRadPressure`,
+    ``radiation_system.hpp:918-985``). F components are [Fn, c^2 P_nx,
+    c^2 P_ny, c^2 P_nz] / before RSL scaling; S = max(0.1, sqrt(T_nn))."""
+    T = eddington_tensor(*f3)
+    Fn = F3[axis]
+    row = T[axis]
+    F = [Fn, row[0] * erad, row[1] * erad, row[2] * erad]
+    S = jnp.maximum(0.1, jnp.sqrt(row[axis]))
+    return F, S
+
+
+def rad_cons_to_prim(R: jnp.ndarray, c: float) -> jnp.ndarray:
+    """R[G,4,...] -> prim [G,4,...] with reduced fluxes f = F/(cE)."""
+    E = R[:, 0:1]
+    f = R[:, 1:4] / (c * E)
+    return jnp.concatenate([E[:, 0:1], f], axis=1)
+
+
+def amend_rad_state(R: jnp.ndarray, opts: RadOptions) -> jnp.ndarray:
+    """Make the radiation state admissible: E >= floor, |F| <= c E
+    (reference `amendRadState`, ``radiation_system.hpp:646-666``).
+    R is [G, 4, ...]; the floor is per-group (Erad_floor / nGroups)."""
+    floor = opts.erad_floor / opts.n_groups
+    E = jnp.maximum(R[:, 0], floor)
+    F = R[:, 1:4]
+    Fnorm = jnp.sqrt(jnp.sum(F * F, axis=1, keepdims=True))
+    Fmax = opts.c * E[:, None]
+    scale = jnp.where(Fnorm > Fmax, Fmax / jnp.where(Fnorm > 0, Fnorm, 1.0), 1.0)
+    F = F * scale
+    return jnp.concatenate([E[:, None], F], axis=1)
+
+
+def compute_rad_fluxes(
+    Ug: jnp.ndarray,
+    rad_start: int,
+    opts: RadOptions,
+    active_axes: Sequence[int],
+    dx: Sequence[float],
+    tau_fn: Callable | None = None,
+):
+    """HLL radiation fluxes along every active axis, in padded face coords.
+
+    `Ug` is the full padded conserved state; radiation components start at
+    `rad_start`. Returns {axis: flux [G,4,X,Y,Z]}.
+
+    Mirrors `RadSystem::ComputeFluxes` (reference
+    ``radiation_system.hpp:987-1135``): PPM/PLM reconstruction of the
+    primitive (E, f) variables with a per-face fall-back to donor-cell
+    conserved states where the reconstructed state is inadmissible
+    (E <= 0 or |f| >= 1).
+    """
+    G = opts.n_groups
+    c, chat = opts.c, opts.chat
+    spatial = Ug.shape[1:]
+    R = Ug[rad_start:].reshape(G, 4, *spatial)
+    prim = rad_cons_to_prim(R, c)
+    prim_flat = prim.reshape(G * 4, *spatial)
+    cons_flat = R.reshape(G * 4, *spatial)
+
+    fluxes = {}
+    for d in active_axes:
+        ax = d + 1
+        qL, qR = reconstruct.reconstruct_faces(prim_flat, d, opts.reconstruction_order)
+        # donor-cell conserved states for the admissibility fallback
+        cL, cR = sh(cons_flat, -1, ax), cons_flat
+
+        qL = qL.reshape(G, 4, *spatial)
+        qR = qR.reshape(G, 4, *spatial)
+        cLg = cL.reshape(G, 4, *spatial)
+        cRg = cR.reshape(G, 4, *spatial)
+
+        F_groups = []
+        for g in range(G):
+            F_g = _hll_group_flux(qL[g], qR[g], cLg[g], cRg[g], d, opts)
+            F_groups.append(F_g)
+        fluxes[d] = jnp.stack(F_groups)
+    return fluxes
+
+
+def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
+    """HLL flux for one photon group at all faces along `axis`.
+    qL/qR: [4, ...] primitive (E, fx, fy, fz); consL/consR: [4, ...]
+    donor-cell conserved states for the fallback."""
+    c, chat = opts.c, opts.chat
+
+    def unpack(q, cons):
+        erad, fx, fy, fz = q[0], q[1], q[2], q[3]
+        f2 = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+        bad = (erad <= 0.0) | (f2 >= 1.0)
+        # fallback: donor-cell conserved state
+        erad_fb = cons[0]
+        Fx_fb, Fy_fb, Fz_fb = cons[1], cons[2], cons[3]
+        erad = jnp.where(bad, erad_fb, erad)
+        Fx = jnp.where(bad, Fx_fb, fx * c * q[0])
+        Fy = jnp.where(bad, Fy_fb, fy * c * q[0])
+        Fz = jnp.where(bad, Fz_fb, fz * c * q[0])
+        fx = Fx / (c * erad)
+        fy = Fy / (c * erad)
+        fz = Fz / (c * erad)
+        return erad, (Fx, Fy, Fz), (fx, fy, fz)
+
+    erad_L, F3_L, f3_L = unpack(qL, consL)
+    erad_R, F3_R, f3_R = unpack(qR, consR)
+
+    FL, S_L = _rad_pressure_flux(erad_L, F3_L, f3_L, axis)
+    FR, S_R = _rad_pressure_flux(erad_R, F3_R, f3_R, axis)
+    S_L = -S_L * chat
+    S_R = S_R * chat
+
+    # reduced-speed-of-light scaling (reference radiation_system.hpp:1092-1099)
+    FL = [FL[0] * (chat / c)] + [Fi * (chat * c) for Fi in FL[1:]]
+    FR = [FR[0] * (chat / c)] + [Fi * (chat * c) for Fi in FR[1:]]
+
+    U_L = jnp.stack([erad_L, F3_L[0], F3_L[1], F3_L[2]])
+    U_R = jnp.stack([erad_R, F3_R[0], F3_R[1], F3_R[2]])
+    FLv = jnp.stack(FL)
+    FRv = jnp.stack(FR)
+
+    dS = S_R - S_L
+    F = (S_R[None] * FLv - S_L[None] * FRv + (S_R * S_L)[None] * (U_R - U_L)) / dS[None]
+    return F
+
+
+def rad_div_fluxes(fluxes: dict, dx: Sequence[float]) -> jnp.ndarray:
+    """div contribution: sum_d (F_d(f) - F_d(f+1)) / dx_d on padded cells.
+    fluxes[d] is [G, 4, X, Y, Z]; face axis for spatial dim d is d+2."""
+    out = None
+    for d, F in fluxes.items():
+        ax = d + 2
+        contrib = (F - sh(F, 1, ax)) / dx[d]
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def predict_step(R0_int, divF_int, dt, opts: RadOptions):
+    """Forward-Euler transport stage + admissibility amendment (reference
+    `RadSystem::PredictStep`, ``radiation_system.hpp:668-712``)."""
+    R1 = R0_int + dt * divF_int
+    return amend_rad_state(R1, opts)
+
+
+def add_fluxes_rk2(R0_int, R1_int, divF0_int, divF1_int, dt, opts: RadOptions):
+    """PD-ARS combine stage (reference `RadSystem::AddFluxesRK2`,
+    ``radiation_system.hpp:714-772``):
+    U^{n+1} = (1-a32) U0 + a32 U1 + dt(0.5-a32) divF(U0) + 0.5 dt divF(U1)."""
+    a32 = IMEX_A32
+    R_new = (
+        (1.0 - a32) * R0_int
+        + a32 * R1_int
+        + dt * (0.5 - a32) * divF0_int
+        + dt * 0.5 * divF1_int
+    )
+    return amend_rad_state(R_new, opts)

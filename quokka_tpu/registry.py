@@ -127,6 +127,12 @@ class Problem:
     rad: RadTraits = RadTraits()
     bcs: BCSpec = BCSpec()
 
+    def make_eos(self):
+        """EOS object used by the solvers; override to install a custom EOS
+        (the analog of the reference's per-problem `quokka::EOS`
+        specializations, e.g. the Su-Olson alpha*T^4 heat capacity)."""
+        return self.eos_traits.make_eos()
+
     # ------------------------------------------------------------------ hooks
     def set_initial_conditions(self, grid):
         raise NotImplementedError
@@ -146,6 +152,24 @@ class Problem:
 
     def compute_derived_var(self, name: str, sim):
         raise NotImplementedError(name)
+
+    # ---- radiation opacity hooks (reference `ComputePlanckOpacity` etc.
+    # specializations, ``src/radiation/radiation_system.hpp:1141-1154``;
+    # energy-mean and flux-mean default to the Planck mean)
+    def compute_planck_opacity(self, rho, T):
+        raise NotImplementedError(
+            f"{type(self).__name__} enables radiation but defines no Planck opacity"
+        )
+
+    def compute_energy_mean_opacity(self, rho, T):
+        return self.compute_planck_opacity(rho, T)
+
+    def compute_flux_mean_opacity(self, rho, T):
+        return self.compute_planck_opacity(rho, T)
+
+    def set_radiation_energy_source(self, grid, time):
+        """User radiation energy source field (reference `SetRadEnergySource`)."""
+        return jnp.zeros(grid.n_cell)
 
     def compute_before_timestep(self, sim):
         pass

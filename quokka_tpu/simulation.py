@@ -76,7 +76,7 @@ class Simulation:
 
         hpp = self.pp
         self.layout = problem.physics.layout()
-        self.eos: IdealGasEOS = problem.eos_traits.make_eos()
+        self.eos: IdealGasEOS = problem.make_eos()
 
         ng = 4  # nghost_cc: PPM + flattening (reference src/simulation.hpp:363)
         self.ng = ghost_widths(self.grid, ng)
@@ -185,7 +185,12 @@ class Simulation:
         if self.constant_dt > 0.0:
             dt = self.constant_dt
         else:
-            smax = float(self._max_signal_jit(self.U))
+            if not self.layout.hydro_enabled and self.layout.radiation_enabled:
+                # radiation-only: signal speed is the reduced speed of light
+                # (reference computeMaxSignalLocal, QuokkaSimulation.hpp:408-430)
+                smax = self.problem.rad.c_hat
+            else:
+                smax = float(self._max_signal_jit(self.U))
             dt = self.cfl * self.grid.dx_min / smax
             dt = min(dt, 1.1 * self.dt_prev)  # change_max limiter
             dt = min(dt, self.max_dt)
@@ -202,6 +207,13 @@ class Simulation:
         """One hydro(+radiation) step with the retry ladder (reference
         `advanceHydroAtLevelWithRetries`, ``src/QuokkaSimulation.hpp:886-990``).
         Returns True on success (self.U/self.t updated)."""
+        # radiation-only problems: no hydro advance, a single "hydro step"
+        # is just the radiation subcycle (reference: radiation test problems
+        # run with constant_dt and no hydro state update)
+        if not self.layout.hydro_enabled:
+            self.U = self._radiation.subcycle(self.U, self.t, dt)
+            return True
+
         max_retries = 6
         U_start = self.U
         for retry in range(max_retries + 1):

@@ -1,0 +1,58 @@
+"""Radiation-matter coupling: implicit Newton source solve vs exact solution.
+
+Reference pass criterion: relative L1 error of T_gas(t) vs the Gonzalez et
+al. 2007 asymptotic solution < 2e-5
+(``test_radiation_matter_coupling.cpp:219-226``).
+"""
+
+import numpy as np
+import pytest
+
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.indices import EGAS, RHO
+from quokka_tpu.problems.rad_matter_coupling import (
+    RadMatterCouplingProblem,
+)
+
+
+def test_matter_coupling_exact():
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1e5 1e5 1e5
+        amr.n_cell = 4 1 1
+        constant_dt = 1.0e-8
+        stop_time = 1.0e-2
+        max_timesteps = 1000000
+        verbose = 0
+        """
+    )
+    prob = RadMatterCouplingProblem()
+    sim = Simulation(prob, pp)
+    sim.set_initial_conditions()
+
+    eos = sim.eos
+    t_hist, Tgas_hist = [], []
+
+    # run in 100-step device-side scans, sampling T_gas at each chunk end
+    # (the reference records per step via computeAfterTimestep; the physics
+    # comparison only needs the sampled trajectory)
+    dt = 1.0e-8
+    chunk = 100
+    n_chunks = int(round(sim.stop_time / (dt * chunk)))
+    rad = sim._radiation
+    U = sim.U
+    for i in range(n_chunks):
+        U = rad.run_steps(U, i * chunk * dt, dt, chunk)
+        Egas = float(U[EGAS][0, 0, 0])
+        Tgas_hist.append(float(eos.tgas_from_eint(np.nan, Egas)))
+        t_hist.append((i + 1) * chunk * dt)
+    sim.U = U
+
+    t_hist = np.array(t_hist)
+    Tgas_hist = np.array(Tgas_hist)
+    Tgas_exact = prob.exact_Tgas(t_hist)
+
+    rel_err = np.sum(np.abs(Tgas_hist - Tgas_exact)) / np.sum(np.abs(Tgas_exact))
+    print(f"relative L1 error norm = {rel_err:.3e}")
+    assert rel_err < 2e-5
