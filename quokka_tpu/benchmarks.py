@@ -73,23 +73,76 @@ def build_scan_runner(sim, n_steps: int):
     return jax.jit(run)
 
 
+def build_step_runner(sim):
+    """Jitted single step `(U, dt_prev) -> (U_new, dt_used)` with the CFL dt
+    computed on-device. Driven by an *async python loop*: the host only
+    enqueues steps (device-resident dt, no host syncs), which measures
+    faster than a lax.scan of the same body -- XLA double-buffers the scan
+    carry through the large fusion graph, roughly doubling HBM traffic and
+    temp memory."""
+    opts = sim.hydro_opts
+    ng = sim.ng
+    periodic = sim.periodic
+    cfl = sim.cfl
+    dx_min = sim.grid.dx_min
+
+    if sim.decomp is not None:
+        from .parallel.decomp import AXIS_NAMES
+        from .parallel.halo import make_sharded_fill, make_sharded_mask_fill
+        from jax.sharding import PartitionSpec as P
+
+        decomp = sim.decomp
+        fill = make_sharded_fill(decomp, ng, sim.problem.bcs, sim.layout,
+                                 sim.problem, sim.grid)
+        mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
+        red_axes = tuple(AXIS_NAMES[d] for d in decomp.sharded_dims())
+    else:
+        fill = sim._fill
+        mask_fill = None
+        red_axes = ()
+
+    def step(U, dt_prev):
+        smax = jnp.max(euler.max_signal_speed(U, opts.eos))
+        if red_axes:
+            smax = lax.pmax(smax, red_axes)
+        dt = jnp.minimum(cfl * dx_min / smax, 1.1 * dt_prev)
+        U_new, _stats = hydro_advance.advance_hydro_rk2(
+            U, dt, opts, fill, ng, periodic, mask_fill
+        )
+        return U_new, dt
+
+    if sim.decomp is not None:
+        from jax.sharding import PartitionSpec as P
+
+        spec = sim.decomp.state_spec()
+        step = jax.shard_map(
+            step, mesh=sim.decomp.mesh,
+            in_specs=(spec, P()), out_specs=(spec, P()),
+            check_vma=False,
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def bench_hydro(sim, n_warmup: int = 2, n_steps: int = 10, dt_init: float = 1e-8):
-    """Time `n_steps` on-device steps; returns (Mzones_per_sec, seconds)."""
+    """Time `n_steps` async-dispatched steps; returns (Mzones_per_sec, s)."""
     import time
 
     if sim.U is None:
         sim.set_initial_conditions()
 
     dtype = sim.U.dtype
-    warm = build_scan_runner(sim, n_warmup)
-    runner = build_scan_runner(sim, n_steps)
+    step = build_step_runner(sim)
 
-    U, dt, _t = warm(sim.U, jnp.asarray(dt_init, dtype=dtype))
+    U = sim.U
+    dt = jnp.asarray(dt_init, dtype=dtype)
+    for _ in range(n_warmup):
+        U, dt = step(U, dt)
     jax.block_until_ready(U)
 
     t0 = time.perf_counter()
-    U2, dt2, _t2 = runner(U, dt)
-    jax.block_until_ready(U2)
+    for _ in range(n_steps):
+        U, dt = step(U, dt)
+    jax.block_until_ready(U)
     elapsed = time.perf_counter() - t0
 
     zones = sim.grid.num_cells * n_steps
