@@ -24,9 +24,22 @@ Individual simulations may opt into f32/mixed precision via
 ``precision="single"`` for TPU throughput.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: TPU compiles of the fused step are expensive
+# (~minutes via remote compile); cache them across processes
+try:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/quokka_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without these options
+    pass
 
 from .config import ParmParse  # noqa: E402
 from .grid import Grid  # noqa: E402

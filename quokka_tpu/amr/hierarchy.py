@@ -1,0 +1,366 @@
+"""Block-structured AMR driver: level hierarchy, subcycling, refluxing.
+
+TPU-native rebuild of the reference's AMR orchestration
+(`AMRSimulation::timeStepWithSubcycling` / `regrid` / `AverageDownTo` /
+`YAFluxRegister::Reflux`, reference ``src/simulation.hpp:1220-1345,
+1421-1508, 1939-1964``) with a TPU-first data model:
+
+  Each level is a FULL-DOMAIN dense array at that level's resolution plus a
+  boolean refined-region mask. Regridding only rewrites masks and fills
+  newly-refined cells -- array shapes never change, so nothing recompiles.
+  Where the mask is clear, the level array carries prolonged coarse data
+  (refreshed every substep), which doubles as the coarse-fine ghost fill:
+  the reference's FillPatcher space-time interpolation becomes
+  `where(mask, U_fine, prolong(lerp(Uc_old, Uc_new, theta)))`.
+
+  This trades wasted compute in unrefined regions for perfectly static
+  shapes and zero gather/scatter -- the right trade on TPU for the
+  moderate-depth hierarchies the reference targets (its own AMR benchmarks
+  refine large volume fractions). A tile-pool representation can slot in
+  later behind the same interface for deep, sparse hierarchies.
+
+  Subcycling (ref ratio 2), conservative average-down, and refluxing follow
+  the reference exactly: fine time-averaged fluxes are restricted to coarse
+  faces and the flux mismatch is applied to uncovered coarse cells adjacent
+  to the coarse-fine boundary.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundaries import fill_ghosts
+from ..config import ParmParse
+from ..grid import Grid
+from ..hydro import advance as hydro_advance
+from ..hydro import euler
+from ..hydro.advance import HydroOptions
+from ..simulation import Simulation
+from ..stencil import ghost_widths, sh
+from . import operators as ops
+
+
+class AMRSimulation(Simulation):
+    """Multi-level simulation with subcycling AMR (refinement ratio 2)."""
+
+    def __init__(self, problem, pp: Optional[ParmParse] = None, **kw):
+        super().__init__(problem, pp, **kw)
+        self.max_level = self.pp.get_int("amr.max_level", 0)
+        self.n_error_buf = self.pp.get_int("amr.n_error_buf", 3)
+        self.regrid_interval = self.pp.get_int("regrid_interval", 2)
+        self.do_reflux = bool(self.pp.get_int("do_reflux", 1))
+
+        # per-level geometry and solver options
+        self.level_grids: List[Grid] = [self.grid]
+        self.level_opts: List[HydroOptions] = [self.hydro_opts]
+        import dataclasses
+
+        for l in range(1, self.max_level + 1):
+            g = self.level_grids[-1].refine(2)
+            self.level_grids.append(g)
+            self.level_opts.append(dataclasses.replace(self.hydro_opts, dx=g.dx))
+
+        # dynamic per-level state
+        self.level_U: List[Optional[jnp.ndarray]] = [None] * (self.max_level + 1)
+        self.level_mask: List[Optional[jnp.ndarray]] = [None] * (self.max_level + 1)
+        self.level_steps = [0] * (self.max_level + 1)
+        self.finest_level = 0
+
+        self._level_step_jits: Dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------ setup
+    def set_initial_conditions(self):
+        super().set_initial_conditions()
+        self.level_U[0] = self.U
+        self.level_mask[0] = jnp.ones(self.grid.n_cell, dtype=bool)
+        # build initial fine levels from tagging on the initial data
+        for l in range(self.max_level):
+            if not self._regrid_level(l):
+                break
+        self.init_sums = np.asarray(self._composite_sums())
+
+    # --------------------------------------------------------- jitted kernels
+    def _fill_level0(self, U):
+        return fill_ghosts(
+            U, self.ng, self.problem.bcs, self.layout,
+            problem=self.problem, grid=self.grid,
+        )
+
+    def _fill_fine(self, U, mask, Uc_interp, l):
+        base = jnp.where(mask[None], U, ops.prolong(Uc_interp, self.grid.active_axes))
+        return fill_ghosts(
+            base, self.ng, self.problem.bcs, self.layout,
+            problem=self.problem, grid=self.level_grids[l],
+        )
+
+    def _get_level_step(self, l: int):
+        """Jitted one-substep advance of level l, returning the restricted
+        time-averaged fluxes for refluxing."""
+        if l in self._level_step_jits:
+            return self._level_step_jits[l]
+
+        opts = self.level_opts[l]
+        ng = self.ng
+        periodic = self.periodic
+        active = self.grid.active_axes
+
+        if l == 0:
+            def step(U, dt):
+                U_new, stats = hydro_advance.advance_hydro_rk2(
+                    U, dt, opts, self._fill_level0, ng, periodic,
+                    return_fluxes=True,
+                )
+                fluxes = stats.pop("fluxes")
+                smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
+                return U_new, fluxes, {"max_signal": smax, **stats}
+        else:
+            def step(U, mask, Uc_old, Uc_new, theta1, theta2, dt):
+                def fill1(Uf):
+                    Uc = (1.0 - theta1) * Uc_old + theta1 * Uc_new
+                    return self._fill_fine(Uf, mask, Uc, l)
+
+                def fill2(Uf):
+                    Uc = (1.0 - theta2) * Uc_old + theta2 * Uc_new
+                    return self._fill_fine(Uf, mask, Uc, l)
+
+                U_new, stats = hydro_advance.advance_hydro_rk2(
+                    U, dt, opts, fill1, ng, periodic,
+                    fill_fn2=fill2, return_fluxes=True,
+                )
+                fluxes = stats.pop("fluxes")
+                # inactive cells are defined to carry prolonged coarse data;
+                # re-impose it at the substep's end time so evolved garbage
+                # in unrefined regions can never enter the hierarchy (the
+                # reference's fine patches simply don't exist there)
+                Uc_end = (1.0 - theta2) * Uc_old + theta2 * Uc_new
+                U_new = jnp.where(
+                    mask[None], U_new, ops.prolong(Uc_end, active)
+                )
+                # restrict fluxes for the parent's flux register
+                fluxes_cr = {
+                    d: ops.restrict_face_flux(F, d, active, ng, ng)
+                    for d, F in fluxes.items()
+                }
+                smax = jnp.max(
+                    jnp.where(mask, euler.max_signal_speed(U_new, opts.eos), 0.0)
+                )
+                return U_new, fluxes_cr, {"max_signal": smax, **stats}
+
+        jitted = jax.jit(step)
+        self._level_step_jits[l] = jitted
+        return jitted
+
+    # ---------------------------------------------------------------- reflux
+    def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float):
+        """Apply the coarse-fine flux mismatch to uncovered coarse cells
+        (reference `YAFluxRegister::Reflux` semantics)."""
+        cmask = ops.restrict_mask_any(self.level_mask[l + 1], self.grid.active_axes)
+        U = self.level_U[l]
+        opts = self.level_opts[l]
+        correction = None
+        for d, Fc in F_crse.items():
+            # boundary faces: covered/uncovered status differs across the face
+            m = cmask
+            m_m1 = sh(m, -1, d)
+            # mask in padded coords
+            m_p = jnp.pad(m, [(g, g) for g in self.ng])
+            m_p_m1 = sh(m_p, -1, d)
+            boundary = m_p != m_p_m1
+            dF = jnp.where(boundary[None], F_fine_sum[d] - Fc, 0.0)
+            contrib = (dF - sh(dF, 1, d + 1)) * (dt_c / opts.dx[d])
+            correction = contrib if correction is None else correction + contrib
+        from ..stencil import interior
+
+        corr_int = interior(correction, self.ng)
+        # apply only to uncovered coarse cells (covered ones get averaged down)
+        U = U + jnp.where(cmask[None], 0.0, corr_int)
+        self.level_U[l] = U
+
+    def _average_down(self, l: int):
+        """U_l := restriction of U_{l+1} where covered."""
+        cmask = ops.restrict_mask_any(self.level_mask[l + 1], self.grid.active_axes)
+        Uf_r = ops.restrict(self.level_U[l + 1], self.grid.active_axes)
+        self.level_U[l] = jnp.where(cmask[None], Uf_r, self.level_U[l])
+        # fixup after reflux/averaging (reference FixupState)
+        opts = self.level_opts[l]
+        self.level_U[l] = euler.enforce_limits(
+            self.level_U[l], opts.eos, opts.density_floor, opts.temperature_floor,
+            opts.n_scalars,
+        )
+
+    # ---------------------------------------------------------------- regrid
+    def _regrid_level(self, l: int) -> bool:
+        """(Re)build level l+1 from error tags on level l. Returns True if
+        level l+1 exists afterwards."""
+        tags = self.problem.error_est(self, l)
+        if tags is None:
+            return self.finest_level > l
+        tags = jnp.asarray(tags, dtype=bool)
+        tags = ops.dilate(tags, self.n_error_buf, self.grid.active_axes, self.periodic)
+        if l > 0:
+            # proper nesting: stay inside the current level-l refined region
+            inner = jnp.logical_not(
+                ops.dilate(jnp.logical_not(self.level_mask[l]), 1,
+                           self.grid.active_axes, self.periodic)
+            )
+            tags = tags & inner
+
+        new_mask = ops.prolong_mask(tags, self.grid.active_axes)
+        if not bool(jnp.any(new_mask)):
+            self.finest_level = min(self.finest_level, l)
+            self.level_U[l + 1] = None
+            self.level_mask[l + 1] = None
+            return False
+
+        prolonged = ops.prolong(self.level_U[l], self.grid.active_axes)
+        old_U = self.level_U[l + 1]
+        old_mask = self.level_mask[l + 1]
+        if old_U is None:
+            U_new = prolonged
+        else:
+            keep = old_mask & new_mask
+            U_new = jnp.where(keep[None], old_U, prolonged)
+        self.level_U[l + 1] = U_new
+        self.level_mask[l + 1] = new_mask
+        self.finest_level = max(self.finest_level, l + 1)
+        return True
+
+    # ---------------------------------------------------------------- advance
+    def compute_timestep(self) -> float:
+        if self.constant_dt > 0.0:
+            return min(self.constant_dt, self.stop_time - self.t)
+        # dt_0 = min over levels of 2^l * cfl * dx_l / smax_l  (reference
+        # computeTimestep with default subcycling, src/simulation.hpp:722-818)
+        dt0 = np.inf
+        for l in range(self.finest_level + 1):
+            opts = self.level_opts[l]
+            sig = euler.max_signal_speed(self.level_U[l], opts.eos)
+            if l > 0:
+                sig = jnp.where(self.level_mask[l], sig, 0.0)
+            smax = float(jnp.max(sig))
+            if smax > 0:
+                dt_l = self.cfl * self.level_grids[l].dx_min / smax
+                dt0 = min(dt0, (2**l) * dt_l)
+        dt0 = min(dt0, 1.1 * self.dt_prev, self.max_dt)
+        if self.t == 0.0:
+            dt0 = min(dt0, self.init_dt)
+        eps = 1.0e-3 * dt0
+        if self.t + dt0 > self.stop_time - eps:
+            dt0 = self.stop_time - self.t
+        return dt0
+
+    def advance_single_step(self, dt: float) -> bool:
+        """Coarse step with a retry ladder: on solver failure anywhere in the
+        hierarchy, restore the pre-step state and redo the whole coarse step
+        as 2^k substeps of dt/2^k (the reference retries per level,
+        ``src/QuokkaSimulation.hpp:886-990``; retrying the coarse step is the
+        conservative equivalent for the dense-level hierarchy)."""
+        max_retries = 6
+        saved_U = [u for u in self.level_U]
+        saved_mask = [m for m in self.level_mask]
+        saved_steps = list(self.level_steps)
+        saved_finest = self.finest_level
+
+        for retry in range(max_retries + 1):
+            nsub = 2**retry
+            ok = True
+            for i in range(nsub):
+                self._timestep_with_subcycling(0, self.t + i * dt / nsub, dt / nsub)
+                for l in range(self.finest_level + 1):
+                    if not bool(jnp.all(jnp.isfinite(self.level_U[l]))):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                self.U = self.level_U[0]
+                return True
+            # restore and retry with halved dt
+            self.level_U = [u for u in saved_U]
+            self.level_mask = [m for m in saved_mask]
+            self.level_steps = list(saved_steps)
+            self.finest_level = saved_finest
+            if self.verbose:
+                print(f"\t>> Re-trying AMR coarse step (nsubsteps={2*nsub})")
+        return False
+
+    def _timestep_with_subcycling(self, l: int, t_level: float, dt_l: float):
+        # regrid below this level periodically
+        if (
+            l < self.max_level
+            and self.level_steps[l] > 0
+            and self.level_steps[l] % self.regrid_interval == 0
+        ):
+            self._regrid_level(l)
+
+        U_old = self.level_U[l]
+        step = self._get_level_step(l)
+        if l == 0:
+            U_new, fluxes, _stats = step(U_old, dt_l)
+        else:
+            theta1 = (t_level - self._parent_t) / self._parent_dt
+            theta2 = theta1 + dt_l / self._parent_dt
+            U_new, fluxes, _stats = step(
+                U_old, self.level_mask[l], self._parent_U_old, self._parent_U_new,
+                jnp.asarray(theta1, U_old.dtype), jnp.asarray(theta2, U_old.dtype),
+                dt_l,
+            )
+        self.level_U[l] = U_new
+        self.level_steps[l] += 1
+        self.cell_updates += self.level_grids[l].num_cells
+
+        if l < self.finest_level:
+            # save parent old/new for the children's space-time ghost fill
+            saved = (
+                getattr(self, "_parent_U_old", None),
+                getattr(self, "_parent_U_new", None),
+                getattr(self, "_parent_t", None),
+                getattr(self, "_parent_dt", None),
+            )
+            self._parent_U_old = U_old
+            self._parent_U_new = U_new
+            self._parent_t = t_level
+            self._parent_dt = dt_l
+
+            fine_flux_sum = None
+            for i in range(2):
+                self._timestep_with_subcycling(l + 1, t_level + i * dt_l / 2, dt_l / 2)
+                ff = self._last_restricted_fluxes
+                if fine_flux_sum is None:
+                    fine_flux_sum = {d: 0.5 * F for d, F in ff.items()}
+                else:
+                    fine_flux_sum = {
+                        d: fine_flux_sum[d] + 0.5 * ff[d] for d in ff
+                    }
+
+            (self._parent_U_old, self._parent_U_new,
+             self._parent_t, self._parent_dt) = saved
+
+            if self.do_reflux:
+                self._reflux(l, fluxes, fine_flux_sum, dt_l)
+            self._average_down(l)
+
+        if l > 0:
+            self._last_restricted_fluxes = fluxes
+
+    # ------------------------------------------------------------ diagnostics
+    def _composite_sums(self):
+        """Conservation sums over the composite grid (finest data wins)."""
+        total = jnp.sum(self.level_U[0], axis=(1, 2, 3)) * self.level_grids[0].cell_volume()
+        # composite = coarse sum is already consistent after average_down
+        return total
+
+    def _conservation_audit(self):
+        final = np.asarray(self._composite_sums())
+        init = self.init_sums
+        self.conservation_abs_err = final - init
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.conservation_rel_err = np.where(init != 0, (final - init) / init, np.nan)
+        if self.verbose:
+            print(f"conservation rel err: {self.conservation_rel_err}")

@@ -1,0 +1,161 @@
+"""Inter-level grid operators: restriction, prolongation, mask morphology.
+
+TPU-native equivalents of AMReX's coarse-fine machinery used by the
+reference: conservative average-down (`amrex::average_down`, reference
+`AverageDown`, ``src/simulation.hpp:1939-1964``), limited linear
+conservative interpolation (`amrex::lincc_interp`, the reference's default
+`amrInterpMethod_=1`, ``src/simulation.hpp:166``), and the tag-buffering /
+nesting morphology of the regrid step.
+
+All operators act on full-domain dense level arrays (see `amr.hierarchy`)
+with refinement ratio 2 along the active axes, as pure reshapes/rolls that
+XLA fuses -- no gather/scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..stencil import sh
+
+
+def restrict(U: jnp.ndarray, active_axes: Sequence[int]) -> jnp.ndarray:
+    """Conservative average-down by factor 2 along the active axes.
+    U: [..., nx, ny, nz] (spatial = last three axes)."""
+    out = U
+    for d in active_axes:
+        ax = out.ndim - 3 + d
+        shape = list(out.shape)
+        n = shape[ax]
+        new_shape = shape[:ax] + [n // 2, 2] + shape[ax + 1:]
+        out = out.reshape(new_shape).mean(axis=ax + 1)
+    return out
+
+
+def _mc_slope(U: jnp.ndarray, ax: int) -> jnp.ndarray:
+    """Monotonized-central limited slope along array axis `ax` (the limiter
+    behavior of AMReX cell_cons/lincc interpolation)."""
+    dp = sh(U, 1, ax) - U
+    dm = U - sh(U, -1, ax)
+    dc = 0.5 * (dp + dm)
+    s = jnp.sign(dc)
+    mag = jnp.minimum(jnp.abs(dc), 2.0 * jnp.minimum(jnp.abs(dp), jnp.abs(dm)))
+    return jnp.where(dp * dm > 0.0, s * mag, 0.0)
+
+
+def prolong(U: jnp.ndarray, active_axes: Sequence[int]) -> jnp.ndarray:
+    """Limited-linear conservative interpolation to the 2x finer grid
+    (lincc-style): fine child value = coarse + sum_d (+-1/4) slope_d.
+    Conservative by construction (children average to the parent)."""
+    slopes = {d: _mc_slope(U, U.ndim - 3 + d) for d in active_axes}
+    out = U
+    out_slopes = dict(slopes)
+    for d in active_axes:
+        ax = out.ndim - 3 + d
+        n = out.shape[ax]
+        # interleave (parent - s/4, parent + s/4) along this axis
+        s = out_slopes.pop(d)
+        lo = out - 0.25 * s
+        hi = out + 0.25 * s
+        stacked = jnp.stack([lo, hi], axis=ax + 1)
+        new_shape = list(out.shape)
+        new_shape[ax] = 2 * n
+        out = stacked.reshape(new_shape)
+        # other slopes must be refined along this axis too (piecewise const)
+        out_slopes = {
+            e: jnp.repeat(se, 2, axis=ax) for e, se in out_slopes.items()
+        }
+    return out
+
+
+def prolong_mask(mask: jnp.ndarray, active_axes: Sequence[int]) -> jnp.ndarray:
+    """Refine a boolean mask to the fine grid (each parent -> 2^d children)."""
+    out = mask
+    for d in active_axes:
+        ax = out.ndim - 3 + d
+        out = jnp.repeat(out, 2, axis=ax)
+    return out
+
+
+def restrict_mask_any(mask: jnp.ndarray, active_axes: Sequence[int]) -> jnp.ndarray:
+    """Coarsen a boolean mask: parent is set if ANY child is set."""
+    out = mask
+    for d in active_axes:
+        ax = out.ndim - 3 + d
+        n = out.shape[ax]
+        shape = list(out.shape)
+        new_shape = shape[:ax] + [n // 2, 2] + shape[ax + 1:]
+        out = out.reshape(new_shape).any(axis=ax + 1)
+    return out
+
+
+def dilate(mask: jnp.ndarray, n: int, active_axes: Sequence[int],
+           periodic: Sequence[bool]) -> jnp.ndarray:
+    """Binary dilation by `n` cells along the active axes (the reference's
+    `amr.n_error_buf` tag buffering). Non-periodic edges do not wrap."""
+    out = mask
+    for _ in range(n):
+        grown = out
+        for d in active_axes:
+            ax = out.ndim - 3 + d
+            up = sh(out, 1, ax)
+            dn = sh(out, -1, ax)
+            if not periodic[d]:
+                # zero the wrapped slabs
+                idx_lo = [slice(None)] * out.ndim
+                idx_lo[ax] = slice(-1, None)
+                idx_hi = [slice(None)] * out.ndim
+                idx_hi[ax] = slice(0, 1)
+                up = up.at[tuple(idx_lo)].set(False)
+                dn = dn.at[tuple(idx_hi)].set(False)
+            grown = grown | up | dn
+        out = grown
+    return out
+
+
+def restrict_face_flux(F: jnp.ndarray, axis: int, active_axes: Sequence[int],
+                       ng_f: Sequence[int], ng_c: Sequence[int]) -> jnp.ndarray:
+    """Restrict a fine-level face-flux array (padded face coords) to coarse
+    faces: pick fine faces at even indices along `axis` (the coarse face
+    positions), average over the 2^k fine faces covering each coarse face
+    transversely. Returns a coarse-padded-coords face array (zeros in the
+    ghost faces)."""
+    nd = F.ndim
+    # slice to interior faces: along `axis` keep N+1 faces [g, g+N]; along
+    # transverse axes keep the N interior cells.
+    idx = [slice(None)] * (nd - 3)
+    for d in range(3):
+        g = ng_f[d]
+        n = F.shape[nd - 3 + d] - 2 * g
+        if d == axis:
+            idx.append(slice(g, g + n + 1))
+        elif g > 0:
+            idx.append(slice(g, g + n))
+        else:
+            idx.append(slice(None))
+    out = F[tuple(idx)]
+
+    for d in active_axes:
+        ax = nd - 3 + d
+        n = out.shape[ax]
+        if d == axis:
+            sub = [slice(None)] * nd
+            sub[ax] = slice(0, n, 2)
+            out = out[tuple(sub)]
+        else:
+            shape = list(out.shape)
+            new_shape = shape[:ax] + [n // 2, 2] + shape[ax + 1:]
+            out = out.reshape(new_shape).mean(axis=ax + 1)
+
+    # re-pad into coarse padded coords: along `axis` the N_c+1 faces sit at
+    # [g_c, g_c+N_c], so the high pad is g_c - 1.
+    pad = [(0, 0)] * (nd - 3)
+    for d in range(3):
+        g = ng_c[d]
+        if d == axis:
+            pad.append((g, max(g - 1, 0)))
+        else:
+            pad.append((g, g))
+    return jnp.pad(out, pad)

@@ -68,6 +68,7 @@ class HydroOptions:
     temperature_floor: float = 0.0
     use_dual_energy: bool = True
     rk_order: int = 2
+    use_pallas: bool = False  # fused Pallas sweep kernels (TPU hot path)
 
     @property
     def ndim(self) -> int:
@@ -223,6 +224,11 @@ def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = Fals
     coords. `first_order=True` gives the donor-cell + LLF backup fluxes used
     for FOFC (reference `computeFOHydroFluxes`,
     ``src/QuokkaSimulation.hpp:1520-1570``)."""
+    if opts.use_pallas and len(opts.active_axes) == 3:
+        from .pallas_sweep import compute_fluxes_pallas
+
+        return compute_fluxes_pallas(Ug, opts, first_order)
+
     prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
 
     if first_order:
@@ -374,13 +380,21 @@ def advance_hydro_rk2(
     ng: Sequence[int],
     periodic: Sequence[bool],
     mask_fill_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    fill_fn2: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    return_fluxes: bool = False,
 ):
     """Full RK2-SSP hydro step (reference `advanceHydroAtLevel`,
     ``src/QuokkaSimulation.hpp:1033-1325``).
 
     `fill_fn(U) -> Ug` fills ghost zones (physical BCs and, under shard_map,
-    the inter-device halos). Returns (U_new, stats_dict)."""
+    the inter-device halos). `fill_fn2`, if given, fills the intermediate
+    stage-2 state (AMR uses coarse data time-interpolated to t+dt there,
+    mirroring the reference's FillPatcher). With `return_fluxes`, stats
+    includes the RK-time-averaged face fluxes used for the update (what the
+    reference feeds its flux registers). Returns (U_new, stats_dict)."""
     eos = opts.eos
+    if fill_fn2 is None:
+        fill_fn2 = fill_fn
 
     # ---- stage 1
     Ug0 = fill_fn(U)
@@ -398,14 +412,16 @@ def advance_hydro_rk2(
 
     if opts.rk_order == 1:
         stats = {"n_fofc": n_fofc1}
+        if return_fluxes:
+            stats["fluxes"] = fl1
         return U1, stats
 
     # ---- stage 2: time-averaged flux  (Heun / RK2-SSP)
-    Ug1 = fill_fn(U1)
+    Ug1 = fill_fn2(U1)
     fluxes2, facevels2 = compute_fluxes(Ug1, opts)
     flux_avg = {d: 0.5 * (fl1[d] + fluxes2[d]) for d in fl1}
     vel_avg = {d: 0.5 * (fv1[d] + facevels2[d]) for d in fv1}
-    U2, _, _, n_fofc2 = rk2_stage(
+    U2, fl2, _, n_fofc2 = rk2_stage(
         U, Ug0, flux_avg, vel_avg, fo_fluxes, fo_facevels, dt, ng, periodic, opts,
         mask_fill_fn,
     )
@@ -416,4 +432,6 @@ def advance_hydro_rk2(
         U2 = euler.sync_dual_energy(U2)
 
     stats = {"n_fofc": n_fofc1 + n_fofc2}
+    if return_fluxes:
+        stats["fluxes"] = fl2
     return U2, stats

@@ -35,30 +35,39 @@ class FaceState:
     Eint: jnp.ndarray  # auxiliary internal energy density (rho*e)
     scalars: Optional[jnp.ndarray] = None  # [nscal, ...faces]
 
+    def conserved_list(self) -> list:
+        comps = [self.rho, self.rho * self.u, self.rho * self.v, self.rho * self.w, self.E, self.Eint]
+        if self.scalars is not None and self.scalars.shape[0] > 0:
+            comps += [self.scalars[i] for i in range(self.scalars.shape[0])]
+        return comps
+
+    def flux_list(self) -> list:
+        """Canonical physical flux F = u*U + P*D, as a component list
+        (built without scatter ops so it lowers inside Pallas kernels)."""
+        U = self.conserved_list()
+        F = [self.u * u for u in U]
+        F[1] = F[1] + self.P
+        F[4] = F[4] + self.P * self.u
+        return F
+
     def conserved(self) -> jnp.ndarray:
         """Canonical conserved vector [rho, rho*u, rho*v, rho*w, E, Eint, scalars...]."""
-        comps = [self.rho, self.rho * self.u, self.rho * self.v, self.rho * self.w, self.E, self.Eint]
-        U = jnp.stack(comps)
-        if self.scalars is not None and self.scalars.shape[0] > 0:
-            U = jnp.concatenate([U, self.scalars], axis=0)
-        return U
+        return jnp.stack(self.conserved_list())
 
     def flux(self) -> jnp.ndarray:
-        """Canonical physical flux F = u*U + P*D."""
-        U = self.conserved()
-        F = self.u[None] * U
-        F = F.at[1].add(self.P)
-        F = F.at[4].add(self.P * self.u)
-        return F
+        return jnp.stack(self.flux_list())
 
 
 def llf(sL: FaceState, sR: FaceState) -> jnp.ndarray:
     """Local Lax-Friedrichs / Rusanov flux (reference ``src/hydro/LLF.hpp:16``;
     Toro eq. 10.56). Used for first-order flux correction."""
     Sp = jnp.maximum(jnp.abs(sL.u) + sL.cs, jnp.abs(sR.u) + sR.cs)
-    U_L, U_R = sL.conserved(), sR.conserved()
-    F_L, F_R = sL.flux(), sR.flux()
-    return 0.5 * (F_L + F_R) - 0.5 * Sp[None] * (U_R - U_L)
+    U_L, U_R = sL.conserved_list(), sR.conserved_list()
+    F_L, F_R = sL.flux_list(), sR.flux_list()
+    return jnp.stack([
+        0.5 * (fl + fr) - 0.5 * Sp * (ur - ul)
+        for fl, fr, ul, ur in zip(F_L, F_R, U_L, U_R)
+    ])
 
 
 def hllc(
@@ -146,29 +155,27 @@ def hllc(
         sL.rho * (S_L - sL.u) * (S_star - sL.u) + sR.rho * (S_R - sR.u) * (S_star - sR.u)
     )
 
-    U_L, U_R = sL.conserved(), sR.conserved()
-    F_L, F_R = sL.flux(), sR.flux()
+    U_L, U_R = sL.conserved_list(), sR.conserved_list()
+    F_L, F_R = sL.flux_list(), sR.flux_list()
 
     # D_star has 1 in the normal-momentum slot and S_star in the energy slot:
     # F* = (S*(S U - F) + S P_LR D*) / (S - S*)
     def star_flux(S, U, F):
         coef = 1.0 / (S - S_star)
-        Fs = (S_star[None] * (S[None] * U - F)) * coef[None]
-        Fs = Fs.at[1].add(S * P_LR * coef)
-        Fs = Fs.at[4].add(S * P_LR * S_star * coef)
+        Fs = [(S_star * (S * u - f)) * coef for u, f in zip(U, F)]
+        Fs[1] = Fs[1] + S * P_LR * coef
+        Fs[4] = Fs[4] + S * P_LR * S_star * coef
         return Fs
 
     F_starL = star_flux(S_L, U_L, F_L)
     F_starR = star_flux(S_R, U_R, F_R)
 
     # open the Riemann fan
-    F = jnp.where(
-        (S_L > 0.0)[None],
-        F_L,
-        jnp.where(
-            (S_star > 0.0)[None],
-            F_starL,
-            jnp.where((S_R >= 0.0)[None], F_starR, F_R),
-        ),
-    )
-    return F
+    in_L = S_L > 0.0
+    in_sL = S_star > 0.0
+    in_sR = S_R >= 0.0
+    F = [
+        jnp.where(in_L, fl, jnp.where(in_sL, fsl, jnp.where(in_sR, fsr, fr)))
+        for fl, fsl, fsr, fr in zip(F_L, F_starL, F_starR, F_R)
+    ]
+    return jnp.stack(F)

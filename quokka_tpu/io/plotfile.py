@@ -33,6 +33,12 @@ def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
     names = sim.layout.component_names()
     U = np.asarray(sim.U)
     arrays = {n: U[i] for i, n in enumerate(names)}
+    # derived variables (reference `derived_vars` ParmParse key)
+    for dv in getattr(sim, "derived_vars", []):
+        from .diagnostics import compute_derived_field
+
+        arrays[dv] = np.asarray(compute_derived_field(sim, dv))
+        names = names + [dv]
     np.savez_compressed(os.path.join(path, "Level_0", "cell_data.npz"), **arrays)
 
     header = {

@@ -171,6 +171,11 @@ class Problem:
         """User radiation energy source field (reference `SetRadEnergySource`)."""
         return jnp.zeros(grid.n_cell)
 
+    def create_initial_particles(self, grid):
+        """Return a `particles.cic.ParticleData` (gravitating CIC particles,
+        reference `createInitialParticles`) or None."""
+        return None
+
     def compute_before_timestep(self, sim):
         pass
 

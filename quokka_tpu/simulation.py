@@ -72,7 +72,21 @@ class Simulation:
         self.constant_dt = self.pp.get_float("constant_dt", -1.0)
         self.plotfile_interval = self.pp.get_int("plotfile_interval", -1)
         self.checkpoint_interval = self.pp.get_int("checkpoint_interval", -1)
+        self.projection_interval = self.pp.get_int("projection_interval", -1)
+        self.projection_dirs = [
+            str(d) for d in self.pp.get_list("projection.dirs", [])
+        ]
+        self.statistics_interval = self.pp.get_int("statistics_interval", -1)
+        self.derived_vars = [str(v) for v in self.pp.get_list("derived_vars", [])]
+        # max_walltime "HH:MM:SS"; stop at 90% like the reference
+        # (src/simulation.hpp:618-629, 948-951)
+        wt = self.pp.get_str("max_walltime", "")
+        self.max_walltime = None
+        if wt:
+            h, m, s = (int(p) for p in wt.split(":"))
+            self.max_walltime = 3600 * h + 60 * m + s
         self.verbose = self.pp.get_int("verbose", 1)
+        self.metadata = {}
 
         hpp = self.pp
         self.layout = problem.physics.layout()
@@ -98,6 +112,14 @@ class Simulation:
             temperature_floor=hpp.get_float("temperature_floor", 0.0),
             use_dual_energy=bool(hpp.get_int("hydro.use_dual_energy", 1)),
             rk_order=hpp.get_int("hydro.rk_integrator_order", 2),
+            # fused Pallas sweep kernels: default on for TPU backends, off on
+            # CPU (where Pallas would run interpreted)
+            use_pallas=bool(
+                hpp.get_int(
+                    "hydro.use_pallas",
+                    0 if jax.default_backend() == "cpu" else 1,
+                )
+            ),
         )
 
         # ---- domain decomposition over the device mesh (multi-chip)
@@ -106,6 +128,13 @@ class Simulation:
 
             decomp = make_decomposition(self.grid.n_cell)
         self.decomp = decomp
+
+        # ---- gravity (reference: doPoissonSolve_ + gravity.Gconst)
+        self.gravity_enabled = problem.physics.gravity_enabled
+        self.Gconst = self.pp.get_float("gravity.Gconst", 6.674e-8)
+        self.gravity_bc = self.pp.get_str("gravity.bc", "open")
+        self.particles = None
+        self._greens_fft = None
 
         # ---- dynamic state
         self.U: Optional[jnp.ndarray] = None
@@ -139,10 +168,32 @@ class Simulation:
                 self.problem, self.grid,
             )
         else:
+            # Strang-split builtin sources (reference
+            # `addStrangSplitSourcesWithBuiltin`, QuokkaSimulation.hpp:520-580):
+            # half-dt cooling (+ user sources) before and after the hydro update
+            cooling_on = bool(self.pp.get_int("cooling.enabled", 0))
+            cooling_table = getattr(self.problem, "cooling_table", None)
+            if cooling_on and cooling_table is None:
+                raise ValueError("cooling.enabled=1 but problem defines no cooling_table")
+            T_floor_cool = self.pp.get_float("cooling.T_floor", 2.73)
+
+            def strang(U, half_dt):
+                if cooling_on:
+                    from .microphysics.cooling import strang_cooling_step
+
+                    U, _ok = strang_cooling_step(
+                        U, half_dt, self.eos, cooling_table,
+                        mean_mol_weight=self.problem.eos_traits.mean_molecular_weight,
+                        T_floor=T_floor_cool,
+                    )
+                return U
+
             def step(U, dt):
+                U = strang(U, 0.5 * dt)
                 U_new, stats = hydro_advance.advance_hydro_rk2(
                     U, dt, opts, self._fill, ng, periodic
                 )
+                U_new = strang(U_new, 0.5 * dt)
                 # post-step CFL / validity diagnostics (reference isCflViolated,
                 # src/QuokkaSimulation.hpp:992-1013)
                 smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
@@ -174,11 +225,71 @@ class Simulation:
         self.init_sums = np.asarray(self._sums_jit(U))
         if self.layout.radiation_enabled:
             self._attach_radiation()
+        if self.gravity_enabled:
+            self._setup_gravity()
 
     def _attach_radiation(self):
         from .radiation.advance import RadiationAdvance
 
         self._radiation = RadiationAdvance(self)
+
+    # ---------------------------------------------------------------- gravity
+    def _setup_gravity(self):
+        """Poisson solver setup + initial solve (reference
+        `calculateGpotAllLevels` at setInitialConditions)."""
+        from .gravity import poisson as pg
+
+        self.particles = self.problem.create_initial_particles(self.grid)
+
+        if self.gravity_bc == "open":
+            Gk = pg.greens_function_kernel(self.grid.n_cell, self.grid.dx, self.dtype)
+            self._greens_fft = jnp.fft.rfftn(Gk)
+
+        def solve_phi(U, particle_rhs):
+            rhs = 4.0 * jnp.pi * self.Gconst * U[RHO] + particle_rhs
+            if self.gravity_bc == "open":
+                return pg.solve_poisson_open(rhs, self.grid.dx, self._greens_fft)
+            return pg.solve_poisson_periodic(rhs, self.grid.dx)
+
+        self._solve_phi_jit = jax.jit(solve_phi)
+        self._gravity_kick_jit = jax.jit(
+            lambda U, phi, dt: pg.apply_gravity_kick(U, phi, self.grid.dx, dt)
+        )
+        self.phi = self._solve_phi_jit(self.U, self._particle_rhs())
+
+    def _particle_rhs(self):
+        from .particles import cic
+
+        if self.particles is None:
+            return jnp.zeros(self.grid.n_cell, dtype=self.dtype)
+        return cic.cic_deposit(self.particles, self.grid, 4.0 * jnp.pi * self.Gconst)
+
+    def _particle_accel(self):
+        from .gravity import poisson as pg
+        from .particles import cic
+
+        g3 = pg.gravity_accel(self.phi, self.grid.dx)
+        return cic.cic_gather(g3, self.particles, self.grid)
+
+    def _gravity_after_step(self, dt: float):
+        """Post-step elliptic solve + operator-split kick (reference
+        `ellipticSolveAllLevels`, ``src/simulation.hpp:1086-1096``)."""
+        from .particles import cic
+
+        if self.particles is not None:
+            self.particles = cic.drift(self.particles, dt, self.grid, self.periodic)
+        self.phi = self._solve_phi_jit(self.U, self._particle_rhs())
+        self.U = self._gravity_kick_jit(self.U, self.phi, dt)
+        if self.particles is not None:
+            self.particles = cic.kick(self.particles, self._particle_accel(), 0.5 * dt)
+
+    def _gravity_before_step(self, dt: float):
+        """First particle kick of the leapfrog (reference
+        `kickParticlesAllLevels` before timeStepWithSubcycling)."""
+        from .particles import cic
+
+        if self.particles is not None:
+            self.particles = cic.kick(self.particles, self._particle_accel(), 0.5 * dt)
 
     # ---------------------------------------------------------------- timestep
     def compute_timestep(self) -> float:
@@ -258,11 +369,17 @@ class Simulation:
             if self.verbose:
                 print(f"Coarse STEP {self.istep + 1} starts t = {self.t:.6e} dt = {dt:.6e}")
 
+            if self.gravity_enabled:
+                self._gravity_before_step(dt)
+
             ok = self.advance_single_step(dt)
             if not ok:
                 raise RuntimeError(
                     f"Hydro update exceeded max_retries at step {self.istep}; cannot continue."
                 )
+
+            if self.gravity_enabled:
+                self._gravity_after_step(dt)
 
             self.t += dt
             self.dt_prev = dt
@@ -271,8 +388,27 @@ class Simulation:
 
             if self.plotfile_interval > 0 and self.istep % self.plotfile_interval == 0:
                 self.write_plotfile()
+            if self.projection_interval > 0 and self.istep % self.projection_interval == 0:
+                from .io.diagnostics import write_projection
+
+                write_projection(self, self.projection_dirs or ("z",))
+            if self.statistics_interval > 0 and self.istep % self.statistics_interval == 0:
+                from .io.diagnostics import write_statistics
+
+                write_statistics(self)
+            # NB: checkpoint written after plotfile (reference issue #554 ordering)
             if self.checkpoint_interval > 0 and self.istep % self.checkpoint_interval == 0:
                 self.write_checkpoint()
+
+            # graceful walltime-bounded stop at 90% + final checkpoint
+            # (reference src/simulation.hpp:948-951, 998-1003)
+            if self.max_walltime is not None:
+                elapsed_wt = _time.perf_counter() - start_walltime
+                if elapsed_wt > 0.9 * self.max_walltime:
+                    if self.verbose:
+                        print("Reached 90% of max_walltime; writing checkpoint and stopping.")
+                    self.write_checkpoint()
+                    break
 
         jax.block_until_ready(self.U)
         elapsed = _time.perf_counter() - start_walltime

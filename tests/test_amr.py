@@ -1,0 +1,101 @@
+"""AMR: 2-level subcycled advance with refluxing.
+
+Mirrors the reference's AMR validation strategy (SURVEY.md §4: AMR variants
+of blast/advection problems + refluxing conservation checks,
+``tests/blast_amr_maxlev2.in``): conservation over the composite grid must
+hold to roundoff, and the refined-region solution must track a uniformly
+fine run.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quokka_tpu import ParmParse
+from quokka_tpu.amr import AMRSimulation
+from quokka_tpu.indices import EGAS, RHO
+from quokka_tpu.registry import EOSTraits, PhysicsTraits, Problem
+from quokka_tpu.simulation import Simulation
+
+
+class Blast2D(Problem):
+    """Small periodic 2D blast with density-gradient refinement tagging."""
+
+    name = "Blast2D_AMR"
+    physics = PhysicsTraits(hydro_enabled=True)
+    eos_traits = EOSTraits(gamma=1.4)
+
+    def set_initial_conditions(self, grid):
+        x, y, _z = grid.cell_center_mesh()
+        shape = grid.n_cell
+        r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
+        P = jnp.where(r2 < 0.01, 10.0, 0.1)
+        g = self.eos_traits.gamma
+        eint = jnp.broadcast_to(P / (g - 1.0), shape)
+        zeros = jnp.zeros(shape)
+        return jnp.stack([jnp.ones(shape), zeros, zeros, zeros, eint, eint])
+
+    def error_est(self, sim, level):
+        U = sim.level_U[level]
+        q = U[EGAS]  # pressure-like gradient tagging (blast starts uniform rho)
+        grad = jnp.zeros_like(q)
+        for d in sim.grid.active_axes:
+            grad = jnp.maximum(
+                grad,
+                jnp.abs(jnp.roll(q, -1, d) - jnp.roll(q, 1, d))
+                / jnp.maximum(jnp.abs(q), 1e-10),
+            )
+        return grad > 0.05
+
+
+CFG = """
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 1.
+cfl = 0.3
+stop_time = 0.05
+max_timesteps = 200
+verbose = 0
+"""
+
+
+def test_amr_conservation():
+    pp = ParmParse.from_string(CFG + "amr.n_cell = 64 64 1\namr.max_level = 1\n")
+    sim = AMRSimulation(Blast2D(), pp)
+    sim.set_initial_conditions()
+    assert sim.finest_level == 1
+    sim.evolve()
+    assert np.all(np.isfinite(np.asarray(sim.level_U[0])))
+    assert np.all(np.isfinite(np.asarray(sim.level_U[1])))
+    # composite-grid conservation with refluxing (periodic box)
+    assert abs(sim.conservation_rel_err[RHO]) < 1e-11
+    assert abs(sim.conservation_rel_err[EGAS]) < 1e-11
+
+
+def test_amr_matches_fine_unigrid():
+    """In the refined region, the AMR solution must track a uniformly-fine
+    run (the blast stays inside the refined patch over this horizon)."""
+    pp = ParmParse.from_string(CFG + "amr.n_cell = 32 32 1\namr.max_level = 1\n")
+    sim = AMRSimulation(Blast2D(), pp)
+    sim.set_initial_conditions()
+    sim.evolve()
+
+    pp_fine = ParmParse.from_string(CFG + "amr.n_cell = 64 64 1\n")
+    ref = Simulation(Blast2D(), pp_fine)
+    ref.set_initial_conditions()
+    ref.evolve()
+
+    mask = np.asarray(sim.level_mask[1])
+    # interior of the refined region (exclude cells near the c-f boundary)
+    from quokka_tpu.amr import operators as ops
+
+    inner = np.asarray(
+        ~ops.dilate(jnp.asarray(~mask), 6, sim.grid.active_axes, sim.periodic)
+    )
+    assert inner.sum() > 100
+    U_amr = np.asarray(sim.level_U[1])
+    U_ref = np.asarray(ref.U)
+    rel = np.abs(U_amr[RHO][inner] - U_ref[RHO][inner]) / np.abs(U_ref[RHO][inner])
+    # the AMR run's coarse far field differs from the uniformly-fine run, so
+    # agreement at the shock is qualitative (few-percent), not to roundoff
+    assert np.median(rel) < 0.05
+    assert rel.mean() < 0.10
