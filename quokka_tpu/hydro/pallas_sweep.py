@@ -261,7 +261,7 @@ def compute_axis_flux_pallas(
             jax.ShapeDtypeStruct((X, Y, Z), dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(*inputs)
     return flux, facevel

@@ -302,6 +302,11 @@ class Simulation:
                 smax = self.problem.rad.c_hat
             else:
                 smax = float(self._max_signal_jit(self.U))
+                if self.layout.radiation_enabled:
+                    # radhydro: cap dt so the radiation subcycle count stays
+                    # within max_substeps (reference ``:424-434``)
+                    max_sub = self._radiation.opts.max_substeps if self._radiation else 10
+                    smax = max(smax, self.problem.rad.c_hat / max_sub)
             dt = self.cfl * self.grid.dx_min / smax
             dt = min(dt, 1.1 * self.dt_prev)  # change_max limiter
             dt = min(dt, self.max_dt)
@@ -321,7 +326,7 @@ class Simulation:
         # radiation-only problems: no hydro advance, a single "hydro step"
         # is just the radiation subcycle (reference: radiation test problems
         # run with constant_dt and no hydro state update)
-        if not self.layout.hydro_enabled:
+        if not self.layout.hydro_enabled and self._radiation is not None:
             self.U = self._radiation.subcycle(self.U, self.t, dt)
             return True
 

@@ -1,0 +1,90 @@
+"""Coupled radiation-hydrodynamics: uniform advecting equilibrium.
+
+Reference: RadhydroUniformAdvecting
+(``test_radhydro_uniform_advecting.cpp``, beta_order=1 configuration): an
+optically-thick gas+radiation mixture in thermal equilibrium advecting at
+v0 = 1e-4 c must remain exactly uniform -- transport, IMEX subcycling, the
+velocity-dependent work terms, and the implicit coupling must all cancel.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.indices import EGAS, EINT, MX1, RHO
+from quokka_tpu.registry import EOSTraits, PhysicsTraits, Problem, RadTraits
+
+C = 1.0e8
+CHAT = 1.0e7
+V0 = 1.0e-4 * C
+KAPPA0 = 1.0e4
+T0 = 1.0
+RHO0 = 1.0
+A_RAD = 1.0
+
+
+class UniformAdvecting(Problem):
+    name = "RadhydroUniformAdvecting"
+    physics = PhysicsTraits(hydro_enabled=True, radiation_enabled=True)
+    eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=1.0, boltzmann_constant=1.0)
+    rad = RadTraits(
+        c_light=C, c_hat=CHAT, radiation_constant=A_RAD, Erad_floor=0.0, beta_order=1
+    )
+
+    def compute_planck_opacity(self, rho, T):
+        return jnp.full_like(rho, KAPPA0)
+
+    def set_initial_conditions(self, grid):
+        shape = grid.n_cell
+        layout = self.physics.layout()
+        eos = self.make_eos()
+        eint = float(eos.eint_from_tgas(RHO0, T0))
+        Erad0 = A_RAD * T0**4
+        U = jnp.zeros((layout.nvar, *shape))
+        U = U.at[RHO].set(RHO0)
+        U = U.at[MX1].set(RHO0 * V0)
+        U = U.at[EGAS].set(eint + 0.5 * RHO0 * V0**2)
+        U = U.at[EINT].set(eint)
+        U = U.at[layout.rad_index(0, 0)].set(Erad0)
+        # lab-frame equilibrium flux to O(v/c): F = (4/3) v E_rad
+        U = U.at[layout.rad_index(0, 1)].set(4.0 / 3.0 * V0 * Erad0)
+        return U
+
+
+def test_uniform_advecting_stays_uniform():
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 32. 1. 1.
+        amr.n_cell = 32 1 1
+        cfl = 0.3
+        radiation.cfl = 0.3
+        stop_time = 1.0e-4
+        max_timesteps = 2000
+        verbose = 0
+        """
+    )
+    prob = UniformAdvecting()
+    sim = Simulation(prob, pp)
+    sim.set_initial_conditions()
+    U0 = np.asarray(sim.U)
+    sim.evolve()
+    U1 = np.asarray(sim.U)
+
+    assert sim.istep > 20
+    # uniformity: every field must stay spatially constant
+    for comp in range(U1.shape[0]):
+        field = U1[comp][:, 0, 0]
+        spread = np.max(field) - np.min(field)
+        scale = max(abs(field).max(), 1e-30)
+        assert spread / scale < 1e-8, (comp, spread, scale)
+
+    # equilibrium values preserved (gas T and Erad)
+    eos = sim.eos
+    eint = U1[EINT][0, 0, 0]
+    Tg = float(eos.tgas_from_eint(RHO0, eint))
+    iE = sim.layout.rad_index(0, 0)
+    assert abs(Tg - T0) < 1e-4
+    assert abs(U1[iE][0, 0, 0] - A_RAD * T0**4) / (A_RAD * T0**4) < 1e-3
+    # momentum conserved
+    assert abs(U1[MX1].mean() - RHO0 * V0) / (RHO0 * V0) < 1e-6
