@@ -51,10 +51,8 @@ class RadiationAdvance:
             include_work_term=bool(pp.get_int("radiation.include_work_term", 1)),
             n_groups=problem.physics.n_groups,
         )
-        if self.opts.n_groups != 1:
-            raise NotImplementedError("multigroup radiation lands with radiation/multigroup.py")
-
         self.rad_start = sim.layout.rad_start
+        self.boundaries = tuple(rt.group_edges) if rt.group_edges else (0.0, float("inf"))
         self._build()
 
     def _build(self):
@@ -78,8 +76,26 @@ class RadiationAdvance:
         def with_rad(U, R):
             return U.at[rad_start:].set(R.reshape(G * 4, *U.shape[1:]))
 
+        multigroup = G > 1
+        boundaries = self.boundaries
+        kB = problem.eos_traits.boltzmann_constant
+
+        def source_update(U, rad_src, dt, stage):
+            if multigroup:
+                from .multigroup import add_source_terms_multi_group
+
+                return add_source_terms_multi_group(
+                    U, rad_src, dt, stage, opts, eos, problem, rad_start,
+                    boundaries, kB,
+                )
+            return add_source_terms_single_group(
+                U, rad_src, dt, stage, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
+            )
+
         def substep(U, time, dt):
             rad_src = problem.set_radiation_energy_source(sim.grid, time)
+            if multigroup and rad_src.ndim == 3:
+                rad_src = jnp.broadcast_to(rad_src[None], (G, *rad_src.shape)) / G
 
             # stage 1: forward-Euler transport
             Ug0 = sim._fill(U)
@@ -90,9 +106,7 @@ class RadiationAdvance:
             U1 = with_rad(U, R1)
 
             # stage-1 matter coupling (IMEX_a22 = 1 > 0)
-            U1, st1 = add_source_terms_single_group(
-                U1, rad_src, dt, 1, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
-            )
+            U1, st1 = source_update(U1, rad_src, dt, 1)
 
             # stage 2: midpoint RK2 transport from the source-updated state
             Ug1 = sim._fill(U1)
@@ -102,9 +116,7 @@ class RadiationAdvance:
             U2 = with_rad(U1, R_new)
 
             # stage-2 matter coupling
-            U2, st2 = add_source_terms_single_group(
-                U2, rad_src, dt, 2, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
-            )
+            U2, st2 = source_update(U2, rad_src, dt, 2)
             return U2, {"newton_iters_max": jnp.maximum(st1["newton_iters_max"], st2["newton_iters_max"])}
 
         self._substep_jit = jax.jit(substep)

@@ -171,6 +171,16 @@ class Problem:
         """User radiation energy source field (reference `SetRadEnergySource`)."""
         return jnp.zeros(grid.n_cell)
 
+    def compute_group_opacities(self, boundaries, rho, T):
+        """Per-group opacities [G, ...] for multigroup problems (reference
+        `DefineOpacityExponentsAndLowerValues` with the piecewise-constant
+        opacity model). Default: Planck opacity replicated per group."""
+        import jax.numpy as jnp
+
+        G = len(boundaries) - 1
+        k = self.compute_planck_opacity(rho, T)
+        return jnp.broadcast_to(k[None], (G, *k.shape))
+
     def create_initial_particles(self, grid):
         """Return a `particles.cic.ParticleData` (gravitating CIC particles,
         reference `createInitialParticles`) or None."""
