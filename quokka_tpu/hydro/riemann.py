@@ -34,6 +34,8 @@ class FaceState:
     E: jnp.ndarray  # total energy density
     Eint: jnp.ndarray  # auxiliary internal energy density (rho*e)
     scalars: Optional[jnp.ndarray] = None  # [nscal, ...faces]
+    by: jnp.ndarray | float = 0.0  # transverse B (MHD / HLLD only)
+    bz: jnp.ndarray | float = 0.0
 
     def conserved_list(self) -> list:
         comps = [self.rho, self.rho * self.u, self.rho * self.v, self.rho * self.w, self.E, self.Eint]
@@ -179,3 +181,177 @@ def hllc(
         for fl, fsl, fsr, fr in zip(F_L, F_starL, F_starR, F_R)
     ]
     return jnp.stack(F)
+
+
+# --------------------------------------------------------------------- HLLD
+_HLLD_DELTA = 1.0e-4  # degeneracy threshold (reference src/hydro/HLLD.hpp:15)
+
+
+def _fast_magnetosonic_speed(gamma, s: FaceState, bx):
+    """Fast magnetosonic speed (reference `FastMagnetoSonicSpeed`,
+    ``src/hydro/HLLD.hpp:31-41``)."""
+    gp = gamma * s.P
+    bx_sq = bx * bx
+    byz_sq = s.by * s.by + s.bz * s.bz
+    b_sq = bx_sq + byz_sq
+    bgp_p = b_sq + gp
+    bgp_m = b_sq - gp
+    return jnp.sqrt(0.5 * (bgp_p + jnp.sqrt(bgp_m * bgp_m + 4.0 * gp * byz_sq)) / s.rho)
+
+
+def hlld(sL: FaceState, sR: FaceState, gamma: float, bx):
+    """HLLD MHD Riemann solver (Miyoshi & Kusano 2005; reference
+    ``src/hydro/HLLD.hpp:43-334``), vectorized with masked branch selection.
+
+    FaceState must carry `by`/`bz` transverse field components (zero for
+    hydro-only operation, as the reference runs it today -- the induction
+    update is stub-level parity). Returns the canonical flux
+    [rho, mom_u, mom_v, mom_w, E, Eint(=0), by, bz].
+    """
+    bx = jnp.asarray(bx)
+    bx_sq = bx * bx
+
+    def cons(s):
+        pb = 0.5 * (bx_sq + (s.by**2 + s.bz**2))
+        ke = 0.5 * s.rho * (s.u**2 + (s.v**2 + s.w**2))
+        E = ke + pb + s.P / (gamma - 1.0)
+        return dict(rho=s.rho, mx=s.rho * s.u, my=s.rho * s.v, mz=s.rho * s.w,
+                    E=E, by=s.by, bz=s.bz), pb
+
+    u_L, pb_L = cons(sL)
+    u_R, pb_R = cons(sR)
+
+    cfs_L = _fast_magnetosonic_speed(gamma, sL, bx)
+    cfs_R = _fast_magnetosonic_speed(gamma, sR, bx)
+    S0 = jnp.minimum(sL.u - cfs_L, sR.u - cfs_R)
+    S4 = jnp.maximum(sL.u + cfs_L, sR.u + cfs_R)
+
+    ptot_L = sL.P + pb_L
+    ptot_R = sR.P + pb_R
+
+    def phys_flux(s, u, ptot):
+        return dict(
+            rho=u["mx"],
+            mx=u["mx"] * s.u + ptot - bx_sq,
+            my=u["my"] * s.u + bx * u["by"],
+            mz=u["mz"] * s.u + bx * u["bz"],
+            E=s.u * (u["E"] + ptot - bx_sq) - bx * (s.v * u["by"] + s.w * u["bz"]),
+            by=u["by"] * s.u - bx * s.v,
+            bz=u["bz"] * s.u - bx * s.w,
+        )
+
+    f_L = phys_flux(sL, u_L, ptot_L)
+    f_R = phys_flux(sR, u_R, ptot_R)
+
+    siui_L = S0 - sL.u
+    siui_R = S4 - sR.u
+    S2 = (siui_R * u_R["mx"] - siui_L * u_L["mx"] + (ptot_L - ptot_R)) / (
+        siui_R * u_R["rho"] - siui_L * u_L["rho"]
+    )
+    sism_L = S0 - S2
+    sism_R = S4 - S2
+
+    rho_star_L = u_L["rho"] * siui_L / sism_L
+    rho_star_R = u_R["rho"] * siui_R / sism_R
+    rs_L = jnp.sqrt(rho_star_L)
+    rs_R = jnp.sqrt(rho_star_R)
+    S1 = S2 - jnp.abs(bx) / rs_L
+    S3 = S2 + jnp.abs(bx) / rs_R
+
+    ptot_star = 0.5 * (
+        (ptot_L - u_L["rho"] * siui_L * (S2 - sL.u))
+        + (ptot_R - u_R["rho"] * siui_R * (S2 - sR.u))
+    )
+
+    def star_state(s, u, siui, sism, rho_star):
+        denom = u["rho"] * siui * sism - bx_sq
+        degen = jnp.abs(denom) < _HLLD_DELTA * ptot_star
+        safe = jnp.where(degen, 1.0, denom)
+        tmp_m = bx * (siui - sism) / safe
+        my = jnp.where(degen, rho_star * s.v, rho_star * (s.v - u["by"] * tmp_m))
+        mz = jnp.where(degen, rho_star * s.w, rho_star * (s.w - u["bz"] * tmp_m))
+        tmp_b = (u["rho"] * siui**2 - bx_sq) / safe
+        by = jnp.where(degen, u["by"], u["by"] * tmp_b)
+        bz = jnp.where(degen, u["bz"], u["bz"] * tmp_b)
+        mx = rho_star * S2
+        vb_star = (mx * bx + (my * by + mz * bz)) / rho_star
+        E = (
+            siui * u["E"] - ptot_L_or_R(s) * s.u + ptot_star * S2
+            + bx * (s.u * bx + (s.v * u["by"] + s.w * u["bz"]) - vb_star)
+        ) / sism
+        return dict(rho=rho_star, mx=mx, my=my, mz=mz, E=E, by=by, bz=bz), vb_star
+
+    def ptot_L_or_R(s):
+        return s.P + 0.5 * (bx_sq + (s.by**2 + s.bz**2))
+
+    us_L, vb_star_L = star_state(sL, u_L, siui_L, sism_L, rho_star_L)
+    us_R, vb_star_R = star_state(sR, u_R, siui_R, sism_R, rho_star_R)
+
+    # double-star states (Alfven-wave rotations), MK5 eqns 59-63
+    bx_near_zero = 0.5 * bx_sq < _HLLD_DELTA * ptot_star
+    rho_sum_inv = 1.0 / (rs_L + rs_R)
+    bx_sign = jnp.where(bx > 0.0, 1.0, -1.0)
+
+    vdm = rho_sum_inv * (
+        rs_L * (us_L["my"] / us_L["rho"]) + rs_R * (us_R["my"] / us_R["rho"])
+        + bx_sign * (us_R["by"] - us_L["by"])
+    )
+    wdm = rho_sum_inv * (
+        rs_L * (us_L["mz"] / us_L["rho"]) + rs_R * (us_R["mz"] / us_R["rho"])
+        + bx_sign * (us_R["bz"] - us_L["bz"])
+    )
+    byd = rho_sum_inv * (
+        rs_L * us_R["by"] + rs_R * us_L["by"]
+        + bx_sign * rs_L * rs_R * (us_R["my"] / us_R["rho"] - us_L["my"] / us_L["rho"])
+    )
+    bzd = rho_sum_inv * (
+        rs_L * us_R["bz"] + rs_R * us_L["bz"]
+        + bx_sign * rs_L * rs_R * (us_R["mz"] / us_R["rho"] - us_L["mz"] / us_L["rho"])
+    )
+    vb_d = S2 * bx + (vdm * byd + wdm * bzd)
+
+    def dstar(us, vb_star, sgn_rs, sign):
+        out = {}
+        out["rho"] = us["rho"]
+        out["mx"] = us["mx"]
+        out["my"] = jnp.where(bx_near_zero, us["my"], us["rho"] * vdm)
+        out["mz"] = jnp.where(bx_near_zero, us["mz"], us["rho"] * wdm)
+        out["by"] = jnp.where(bx_near_zero, us["by"], byd)
+        out["bz"] = jnp.where(bx_near_zero, us["bz"], bzd)
+        out["E"] = jnp.where(
+            bx_near_zero, us["E"], us["E"] + sign * sgn_rs * bx_sign * (vb_d - vb_star)
+        )
+        return out
+
+    # note sign convention: E_dstar_L = E_star_L - rs_L*sign(bx)*(vb_star-vb_d)
+    ud_L = dstar(us_L, vb_star_L, rs_L, 1.0)
+    ud_R = dstar(us_R, vb_star_R, rs_R, -1.0)
+
+    keys = ("rho", "mx", "my", "mz", "E", "by", "bz")
+
+    def hll_sum(f, terms):
+        return {k: f[k] + sum(t[k] for t in terms) for k in keys}
+
+    d_us_L = {k: S0 * (us_L[k] - u_L[k]) for k in keys}
+    d_ud_L = {k: S1 * (ud_L[k] - us_L[k]) for k in keys}
+    d_us_R = {k: S4 * (us_R[k] - u_R[k]) for k in keys}
+    d_ud_R = {k: S3 * (ud_R[k] - us_R[k]) for k in keys}
+
+    F_sL = hll_sum(f_L, [d_us_L])
+    F_dL = hll_sum(f_L, [d_us_L, d_ud_L])
+    F_dR = hll_sum(f_R, [d_us_R, d_ud_R])
+    F_sR = hll_sum(f_R, [d_us_R])
+
+    out = {}
+    for k in keys:
+        out[k] = jnp.where(
+            S0 >= 0.0, f_L[k],
+            jnp.where(S4 <= 0.0, f_R[k],
+            jnp.where(S1 >= 0.0, F_sL[k],
+            jnp.where(S2 >= 0.0, F_dL[k],
+            jnp.where(S3 > 0.0, F_dR[k], F_sR[k])))))
+
+    # canonical order: [rho, mom_u, mom_v, mom_w, E, Eint(=0), by, bz]
+    zero = jnp.zeros_like(out["rho"])
+    return jnp.stack([out["rho"], out["mx"], out["my"], out["mz"], out["E"], zero,
+                      out["by"], out["bz"]])

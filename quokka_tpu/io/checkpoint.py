@@ -23,24 +23,44 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     path = os.path.join(directory, name)
     os.makedirs(os.path.join(path, "Level_0"), exist_ok=True)
 
+    # AMR hierarchies checkpoint every level + mask (reference writes
+    # per-level BoxArrays + VisMF binaries, src/simulation.hpp:2564-2675)
+    finest = getattr(sim, "finest_level", 0)
+
     header = {
         "checkpoint_version": "quokka_tpu-1.0",
         "istep": sim.istep,
         "time": sim.t,
         "dt_prev": sim.dt_prev,
         "cell_updates": int(sim.cell_updates),
-        "finest_level": 0,
+        "finest_level": int(finest),
         "n_cell": list(sim.grid.n_cell),
         "prob_lo": list(sim.grid.prob_lo),
         "prob_hi": list(sim.grid.prob_hi),
         "nvar": int(sim.layout.nvar),
         "dtype": str(np.dtype(sim.U.dtype)),
         "init_sums": [float(x) for x in sim.init_sums],
+        "level_steps": list(getattr(sim, "level_steps", [])),
     }
     with open(os.path.join(path, "Header"), "w") as f:
         json.dump(header, f, indent=1)
 
     np.save(os.path.join(path, "Level_0", "state.npy"), np.asarray(sim.U))
+    for l in range(1, finest + 1):
+        lvl_dir = os.path.join(path, f"Level_{l}")
+        os.makedirs(lvl_dir, exist_ok=True)
+        np.save(os.path.join(lvl_dir, "state.npy"), np.asarray(sim.level_U[l]))
+        np.save(os.path.join(lvl_dir, "mask.npy"), np.asarray(sim.level_mask[l]))
+
+    if sim.particles is not None:
+        pdir = os.path.join(path, "Particles")
+        os.makedirs(pdir, exist_ok=True)
+        np.savez(
+            os.path.join(pdir, "cic.npz"),
+            x=np.asarray(sim.particles.x),
+            v=np.asarray(sim.particles.v),
+            mass=np.asarray(sim.particles.mass),
+        )
 
     # atomically update the last_chk symlink (reference src/simulation.hpp:2548-2562)
     link = os.path.join(directory, "last_chk")
@@ -68,4 +88,27 @@ def read_checkpoint(sim, path: str):
     sim.dt_prev = float(header["dt_prev"])
     sim.cell_updates = int(header["cell_updates"])
     sim.init_sums = np.asarray(header["init_sums"])
+
+    finest = int(header.get("finest_level", 0))
+    if hasattr(sim, "level_U"):
+        sim.level_U[0] = sim.U
+        sim.finest_level = finest
+        steps = header.get("level_steps")
+        if steps:
+            sim.level_steps = list(steps)
+        for l in range(1, finest + 1):
+            lvl_dir = os.path.join(path, f"Level_{l}")
+            sim.level_U[l] = jnp.asarray(
+                np.load(os.path.join(lvl_dir, "state.npy")), dtype=sim.dtype
+            )
+            sim.level_mask[l] = jnp.asarray(np.load(os.path.join(lvl_dir, "mask.npy")))
+
+    pfile = os.path.join(path, "Particles", "cic.npz")
+    if os.path.exists(pfile):
+        from ..particles.cic import ParticleData
+
+        d = np.load(pfile)
+        sim.particles = ParticleData(
+            jnp.asarray(d["x"]), jnp.asarray(d["v"]), jnp.asarray(d["mass"])
+        )
     return header

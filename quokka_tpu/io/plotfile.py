@@ -41,13 +41,26 @@ def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
         names = names + [dv]
     np.savez_compressed(os.path.join(path, "Level_0", "cell_data.npz"), **arrays)
 
+    # AMR: write fine levels + masks as well
+    finest = getattr(sim, "finest_level", 0)
+    base_names = sim.layout.component_names()
+    for l in range(1, finest + 1):
+        lvl_dir = os.path.join(path, f"Level_{l}")
+        os.makedirs(lvl_dir, exist_ok=True)
+        Ul = np.asarray(sim.level_U[l])
+        np.savez_compressed(
+            os.path.join(lvl_dir, "cell_data.npz"),
+            **{n: Ul[i] for i, n in enumerate(base_names)},
+            refined_mask=np.asarray(sim.level_mask[l]),
+        )
+
     header = {
         "plotfile_version": "quokka_tpu-1.0",
         "ncomp": len(names),
         "components": names,
         "time": sim.t,
         "istep": sim.istep,
-        "finest_level": 0,
+        "finest_level": int(finest),
         "n_cell": list(sim.grid.n_cell),
         "prob_lo": list(sim.grid.prob_lo),
         "prob_hi": list(sim.grid.prob_hi),

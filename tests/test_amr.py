@@ -99,3 +99,31 @@ def test_amr_matches_fine_unigrid():
     # agreement at the shock is qualitative (few-percent), not to roundoff
     assert np.median(rel) < 0.05
     assert rel.mean() < 0.10
+
+
+def test_amr_checkpoint_restart(tmp_path):
+    """Multi-level checkpoint restores state + masks bitwise."""
+    import os
+
+    from quokka_tpu.io.checkpoint import read_checkpoint, write_checkpoint
+
+    pp = ParmParse.from_string(CFG + "amr.n_cell = 32 32 1\namr.max_level = 1\nmax_timesteps = 5\n")
+    sim = AMRSimulation(Blast2D(), pp)
+    sim.set_initial_conditions()
+    sim.evolve()
+    path = write_checkpoint(sim, directory=str(tmp_path))
+
+    sim2 = AMRSimulation(Blast2D(), ParmParse.from_string(
+        CFG + "amr.n_cell = 32 32 1\namr.max_level = 1\nmax_timesteps = 5\n"))
+    sim2.set_initial_conditions()
+    read_checkpoint(sim2, path)
+    assert sim2.finest_level == sim.finest_level
+    np.testing.assert_array_equal(np.asarray(sim2.level_U[0]), np.asarray(sim.level_U[0]))
+    np.testing.assert_array_equal(np.asarray(sim2.level_U[1]), np.asarray(sim.level_U[1]))
+    np.testing.assert_array_equal(np.asarray(sim2.level_mask[1]), np.asarray(sim.level_mask[1]))
+
+    # continue both for 3 more steps: identical trajectories
+    for s in (sim, sim2):
+        s.max_timesteps = s.istep + 3
+        s.evolve()
+    np.testing.assert_array_equal(np.asarray(sim2.level_U[0]), np.asarray(sim.level_U[0]))
