@@ -96,6 +96,17 @@ def pad_axis(
             Ug = problem.fill_user_boundary(Ug, grid, ng, time, d, 0)
         if hi_kind == BC_USER:
             Ug = problem.fill_user_boundary(Ug, grid, ng, time, d, 1)
+        from .registry import BC_NSCBC_OUTFLOW
+
+        if BC_NSCBC_OUTFLOW in (lo_kind, hi_kind):
+            from .hydro.nscbc import set_outflow_boundary
+
+            eos = problem.make_eos()
+            P_t = float(getattr(problem, "nscbc_outflow_pressure"))
+            if lo_kind == BC_NSCBC_OUTFLOW:
+                Ug = set_outflow_boundary(Ug, d, 0, P_t, grid, ng, eos)
+            if hi_kind == BC_NSCBC_OUTFLOW:
+                Ug = set_outflow_boundary(Ug, d, 1, P_t, grid, ng, eos)
     return Ug
 
 

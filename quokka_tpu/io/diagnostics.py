@@ -82,6 +82,54 @@ def write_statistics(sim, filename: str = "history.txt", directory: str = "."):
         f.write(" ".join(f"{float(v):.14e}" for v in stats.values()) + "\n")
 
 
+def weighted_pdf(
+    field: jnp.ndarray,
+    bins: int = 64,
+    range=None,
+    weights: jnp.ndarray | None = None,
+    log_spaced: bool = False,
+    filters=(),
+):
+    """Filtered, weighted histogram of a cell field (reference `DiagPDF` /
+    `DiagFilter`, ``src/io/DiagPDF.{H,cpp}``): `filters` is a sequence of
+    boolean masks ANDed together; weights default to 1 per cell."""
+    x = field.ravel()
+    w = jnp.ones_like(x) if weights is None else weights.ravel()
+    for f in filters:
+        w = w * f.ravel().astype(w.dtype)
+    if log_spaced:
+        x = jnp.log10(jnp.maximum(x, 1e-300))
+        if range is not None:
+            range = (float(jnp.log10(range[0])), float(jnp.log10(range[1])))
+    if range is None:
+        range = (float(jnp.min(x)), float(jnp.max(x)))
+    hist = jnp.histogram(x, bins=bins, range=range, weights=w)[0]
+    edges = jnp.linspace(range[0], range[1], bins + 1)
+    return hist, edges
+
+
+def write_pdf_diagnostic(sim, spec: dict, directory: str = "."):
+    """Write a PDF diagnostic to `pdf_<field>_#######.npz`. `spec` keys:
+    field (name), bins, range, log (bool), weight_field (optional)."""
+    field = compute_derived_field(sim, spec["field"])
+    weights = None
+    if spec.get("weight_field"):
+        weights = compute_derived_field(sim, spec["weight_field"])
+    hist, edges = weighted_pdf(
+        field,
+        bins=int(spec.get("bins", 64)),
+        range=spec.get("range"),
+        weights=weights,
+        log_spaced=bool(spec.get("log", False)),
+    )
+    name = f"pdf_{spec['field']}_{sim.istep:07d}.npz"
+    np.savez(
+        os.path.join(directory, name),
+        hist=np.asarray(hist), edges=np.asarray(edges), time=sim.t,
+    )
+    return name
+
+
 def compute_derived_field(sim, name: str):
     """Built-in derived variables (reference per-problem `ComputeDerivedVar`
     plus common built-ins); falls back to the problem hook."""

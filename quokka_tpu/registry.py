@@ -89,6 +89,8 @@ BC_PERIODIC = "periodic"
 BC_OUTFLOW = "outflow"
 BC_REFLECT = "reflect"
 BC_USER = "user"  # ext_dir: problem supplies fill_user_boundary hook
+BC_NSCBC_OUTFLOW = "nscbc_outflow"  # characteristic subsonic outflow
+# target pressure read from problem.nscbc_outflow_pressure
 
 
 @dataclass(frozen=True)
@@ -184,6 +186,11 @@ class Problem:
     def create_initial_particles(self, grid):
         """Return a `particles.cic.ParticleData` (gravitating CIC particles,
         reference `createInitialParticles`) or None."""
+        return None
+
+    def create_initial_tracer_particles(self, grid):
+        """Return tracer particle positions [N, 3] (massless, advected with
+        the gas; reference tracer particles) or None."""
         return None
 
     def compute_before_timestep(self, sim):

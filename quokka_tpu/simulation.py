@@ -134,6 +134,7 @@ class Simulation:
         self.Gconst = self.pp.get_float("gravity.Gconst", 6.674e-8)
         self.gravity_bc = self.pp.get_str("gravity.bc", "open")
         self.particles = None
+        self.tracers = None
         self._greens_fft = None
 
         # ---- dynamic state
@@ -214,6 +215,17 @@ class Simulation:
 
     # ------------------------------------------------------------------- setup
     def set_initial_conditions(self):
+        tr = self.problem.create_initial_tracer_particles(self.grid)
+        if tr is not None:
+            from .particles.cic import ParticleData
+
+            tr = jnp.asarray(tr, dtype=self.dtype)
+            self.tracers = ParticleData(
+                tr, jnp.zeros_like(tr), jnp.zeros(tr.shape[0], dtype=self.dtype)
+            )
+        else:
+            self.tracers = None
+
         U = self.problem.set_initial_conditions(self.grid)
         U = jnp.asarray(U, dtype=self.dtype)
         expected = (self.layout.nvar, *self.grid.n_cell)
@@ -386,6 +398,9 @@ class Simulation:
             if self.gravity_enabled:
                 self._gravity_after_step(dt)
 
+            if self.tracers is not None:
+                self._advect_tracers(dt)
+
             self.t += dt
             self.dt_prev = dt
             self.istep += 1
@@ -459,6 +474,21 @@ class Simulation:
         self.error_norm = float(err_norm / sol_norm)
         if self.verbose:
             print(f"Relative rms L1 error norm = {self.error_norm:.6e}")
+
+    def _advect_tracers(self, dt: float):
+        """Advect massless tracer particles with the CIC-gathered gas
+        velocity (the reference advects with time-averaged face velocities,
+        ``src/QuokkaSimulation.hpp:1290-1316``; cell-centered gather is the
+        dense-array equivalent)."""
+        from .indices import MX1, MX2, MX3, RHO
+        from .particles import cic
+
+        U = self.U
+        rho = U[RHO]
+        vel = (U[MX1] / rho, U[MX2] / rho, U[MX3] / rho)
+        v_at = cic.cic_gather(vel, self.tracers, self.grid)
+        tr = cic.ParticleData(self.tracers.x, v_at, self.tracers.mass)
+        self.tracers = cic.drift(tr, dt, self.grid, self.periodic)
 
     # -------------------------------------------------------------------- I/O
     def write_plotfile(self, prefix: str = "plt"):

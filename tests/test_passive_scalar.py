@@ -67,3 +67,34 @@ def test_passive_scalar_advection():
     exact = np.exp(-((np.minimum(np.abs(x - 0.7), 1 - np.abs(x - 0.7))) ** 2) / 0.005)
     err = np.abs(U1[SCALAR0][:, 0, 0] - exact).sum() / exact.sum()
     assert err < 0.05
+
+
+class ScalarAdvectionTracers(ScalarAdvection):
+    def create_initial_tracer_particles(self, grid):
+        import numpy as np
+
+        x = np.linspace(0.1, 0.5, 5)
+        pos = np.stack([x, np.full(5, 0.5), np.full(5, 0.5)], axis=-1)
+        return pos
+
+
+def test_tracer_particles_uniform_flow():
+    """Tracers in a uniform v=1 flow translate exactly by v*t."""
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_hi = 1. 1. 1.
+        amr.n_cell = 64 1 1
+        cfl = 0.4
+        stop_time = 0.25
+        max_timesteps = 200
+        verbose = 0
+        """
+    )
+    sim = Simulation(ScalarAdvectionTracers(), pp)
+    sim.set_initial_conditions()
+    x0 = np.asarray(sim.tracers.x).copy()
+    sim.evolve()
+    x1 = np.asarray(sim.tracers.x)
+    expect = np.mod(x0[:, 0] + 1.0 * sim.t, 1.0)
+    np.testing.assert_allclose(x1[:, 0], expect, atol=1e-10)
+    np.testing.assert_allclose(x1[:, 1:], x0[:, 1:], atol=1e-12)
