@@ -82,6 +82,52 @@ def write_statistics(sim, filename: str = "history.txt", directory: str = "."):
         f.write(" ".join(f"{float(v):.14e}" for v in stats.values()) + "\n")
 
 
+def run_configured_diagnostics(sim, directory: str = "."):
+    """Config-driven in-situ diagnostics (reference Factory-registered
+    `quokka.diagnostics` framework, ``src/io/DiagBase.{H,cpp}`` +
+    ``src/simulation.hpp:2120-2158``):
+
+        quokka.diagnostics = d1 d2
+        d1.type = DiagFramePlane        # or DiagPDF
+        d1.field = gasDensity
+        d1.axis = z                     # plane diags
+        d1.op = sum                     # sum | min | max
+        d1.interval = 10
+        d2.type = DiagPDF
+        d2.field = temperature
+        d2.bins = 64
+        d2.log = 1
+    """
+    names = sim.pp.get_list("quokka.diagnostics", [])
+    axmap = {"x": 0, "y": 1, "z": 2}
+    for dname in names:
+        dpp = sim.pp.namespace(str(dname))
+        interval = int(dpp.get("interval", 10))
+        if interval <= 0 or sim.istep % interval != 0:
+            continue
+        dtype_ = dpp.get_str("type", "DiagFramePlane")
+        field_name = dpp.get_str("field", "gasDensity")
+        field = compute_derived_field(sim, field_name)
+        if dtype_ == "DiagFramePlane":
+            ax = axmap[dpp.get_str("axis", "z")]
+            proj = plane_projection(field, ax, dpp.get_str("op", "sum"), sim.grid.dx[ax])
+            out = f"{dname}_{field_name}_plt{sim.istep:07d}.npz"
+            np.savez(os.path.join(directory, out), data=np.asarray(proj), time=sim.t)
+        elif dtype_ == "DiagPDF":
+            write_pdf_diagnostic(
+                sim,
+                {
+                    "field": field_name,
+                    "bins": int(dpp.get("bins", 64)),
+                    "log": bool(int(dpp.get("log", 0))),
+                    "weight_field": dpp.get("weight_field"),
+                },
+                directory,
+            )
+        else:
+            raise ValueError(f"unknown diagnostic type {dtype_}")
+
+
 def weighted_pdf(
     field: jnp.ndarray,
     bins: int = 64,

@@ -416,6 +416,10 @@ class Simulation:
                 from .io.diagnostics import write_statistics
 
                 write_statistics(self)
+            if self.pp.contains("quokka.diagnostics"):
+                from .io.diagnostics import run_configured_diagnostics
+
+                run_configured_diagnostics(self)
             # NB: checkpoint written after plotfile (reference issue #554 ordering)
             if self.checkpoint_interval > 0 and self.istep % self.checkpoint_interval == 0:
                 self.write_checkpoint()
