@@ -54,23 +54,31 @@ def physical_slabs(
     """Ghost slabs for one axis computed from the adjacent interior data
     (periodic wrap / outflow extrapolation / reflection). BC_USER slabs are
     filled by the problem hook afterwards (see `pad_axis`)."""
+    from jax import lax
+
     ax = d + 1
     n = U.shape[ax]
-    take = lambda a, b: jnp.take(U, jnp.arange(a, b), axis=ax)
+    # static slices (NOT jnp.take gathers -- XLA:TPU lowers those to slow
+    # dynamic-gather kernels; slice+flip+broadcast all fuse)
+    take = lambda a, b: lax.slice_in_dim(U, a, b, axis=ax)
 
     if lo_kind == BC_PERIODIC:
         lo = take(n - g, n)
     elif lo_kind == BC_REFLECT:
         lo = jnp.flip(take(0, g), axis=ax) * _reflect_sign(layout, d, U.dtype)
     else:  # outflow / user (user overwritten by the hook)
-        lo = jnp.repeat(take(0, 1), g, axis=ax)
+        shape = list(U.shape)
+        shape[ax] = g
+        lo = jnp.broadcast_to(take(0, 1), shape)
 
     if hi_kind == BC_PERIODIC:
         hi = take(0, g)
     elif hi_kind == BC_REFLECT:
         hi = jnp.flip(take(n - g, n), axis=ax) * _reflect_sign(layout, d, U.dtype)
     else:
-        hi = jnp.repeat(take(n - 1, n), g, axis=ax)
+        shape = list(U.shape)
+        shape[ax] = g
+        hi = jnp.broadcast_to(take(n - 1, n), shape)
 
     return lo, hi
 

@@ -295,6 +295,8 @@ def _pad_mask(mask: jnp.ndarray, ng: Sequence[int], periodic: Sequence[bool]) ->
     """Pad a boolean interior mask into ghost cells: periodic wrap where
     periodic, False elsewhere (matches the reference's
     `redoFlag.FillBoundary(periodicity)`)."""
+    from jax import lax
+
     out = mask
     for d in range(3):
         g = ng[d]
@@ -303,8 +305,8 @@ def _pad_mask(mask: jnp.ndarray, ng: Sequence[int], periodic: Sequence[bool]) ->
         ax = d
         n = out.shape[ax]
         if periodic[d]:
-            lo = jnp.take(out, jnp.arange(n - g, n), axis=ax)
-            hi = jnp.take(out, jnp.arange(0, g), axis=ax)
+            lo = lax.slice_in_dim(out, n - g, n, axis=ax)
+            hi = lax.slice_in_dim(out, 0, g, axis=ax)
         else:
             shape = list(out.shape)
             shape[ax] = g

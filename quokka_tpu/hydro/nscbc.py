@@ -65,7 +65,9 @@ def set_outflow_boundary(
     dx = grid.dx[axis]
 
     def plane(idx):
-        return jnp.take(Ug, jnp.asarray(idx), axis=ax)
+        from jax import lax
+
+        return lax.index_in_dim(Ug, idx, axis=ax, keepdims=False)
 
     if side == 1:
         ibr, step = g + n_int - 1, -1

@@ -29,8 +29,8 @@ def _exchange_slabs(A: jnp.ndarray, d: int, w: int, name: str, n_shards: int):
     shard's low ghost), recv_hi the right neighbor's head."""
     ax = A.ndim - 3 + d
     n = A.shape[ax]
-    tail = jnp.take(A, jnp.arange(n - w, n), axis=ax)
-    head = jnp.take(A, jnp.arange(0, w), axis=ax)
+    tail = lax.slice_in_dim(A, n - w, n, axis=ax)
+    head = lax.slice_in_dim(A, 0, w, axis=ax)
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     recv_lo = lax.ppermute(tail, name, fwd)
@@ -110,8 +110,8 @@ def make_sharded_mask_fill(
             n = out.shape[ax]
             if tiles[d] == 1:
                 if periodic[d]:
-                    lo = jnp.take(out, jnp.arange(n - g, n), axis=ax)
-                    hi = jnp.take(out, jnp.arange(0, g), axis=ax)
+                    lo = lax.slice_in_dim(out, n - g, n, axis=ax)
+                    hi = lax.slice_in_dim(out, 0, g, axis=ax)
                 else:
                     shape = list(out.shape)
                     shape[ax] = g
