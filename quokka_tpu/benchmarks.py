@@ -147,3 +147,66 @@ def bench_hydro(sim, n_warmup: int = 2, n_steps: int = 10, dt_init: float = 1e-8
 
     zones = sim.grid.num_cells * n_steps
     return zones / elapsed / 1e6, elapsed
+
+
+def bench_radhydro(sim, n_warmup: int = 1, n_steps: int = 5):
+    """Time full radhydro steps (hydro advance + radiation subcycle with
+    implicit coupling), async-dispatched. FOM counts hydro zone-updates as
+    the reference does (radiation substeps are extra work per zone-update,
+    reference ``src/simulation.hpp:972-980``)."""
+    import time
+
+    if sim.U is None:
+        sim.set_initial_conditions()
+    rad = sim._radiation
+    opts = sim.hydro_opts
+
+    # fixed dt from the initial state (constant over the short bench window)
+    dt = sim.compute_timestep()
+    nsub = rad.n_substeps(dt)
+    dt_rad = dt / nsub
+
+    # hydro advances only the hydro block (radiation comps belong to the
+    # radiation subsystem)
+    from .boundaries import fill_ghosts
+    from .indices import StateLayout
+
+    nh = sim.layout.nvar_hydro
+    layout_h = StateLayout(
+        hydro_enabled=True, radiation_enabled=False,
+        n_scalars=sim.layout.n_scalars, n_mscalars=sim.layout.n_mscalars,
+    )
+
+    def fill_h(X):
+        return fill_ghosts(X, sim.ng, sim.problem.bcs, layout_h,
+                           problem=sim.problem, grid=sim.grid)
+
+    def hydro_step(U):
+        Uh_new, _ = hydro_advance.advance_hydro_rk2(
+            U[:nh], dt, opts, fill_h, sim.ng, sim.periodic
+        )
+        return jnp.concatenate([Uh_new, U[nh:]], axis=0)
+
+    hydro_jit = jax.jit(hydro_step, donate_argnums=(0,))
+
+    def full_step(U, t):
+        U = hydro_jit(U)
+        U = rad.run_steps(U, t, dt_rad, nsub)
+        return U
+
+    U = sim.U
+    t = 0.0
+    for _ in range(n_warmup):
+        U = full_step(U, t)
+        t += dt
+    jax.block_until_ready(U)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        U = full_step(U, t)
+        t += dt
+    jax.block_until_ready(U)
+    elapsed = time.perf_counter() - t0
+
+    zones = sim.grid.num_cells * n_steps
+    return zones / elapsed / 1e6, elapsed, nsub

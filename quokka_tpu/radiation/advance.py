@@ -93,7 +93,13 @@ class RadiationAdvance:
             )
 
         def substep(U, time, dt):
-            rad_src = problem.set_radiation_energy_source(sim.grid, time)
+            # python-float dt/time become f64 under jax_enable_x64; keep the
+            # whole solve in the state dtype
+            dt = jnp.asarray(dt, U.dtype)
+            time = jnp.asarray(time, U.dtype)
+            rad_src = jnp.asarray(
+                problem.set_radiation_energy_source(sim.grid, time), U.dtype
+            )
             if multigroup and rad_src.ndim == 3:
                 rad_src = jnp.broadcast_to(rad_src[None], (G, *rad_src.shape)) / G
 

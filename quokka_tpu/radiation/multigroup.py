@@ -77,6 +77,8 @@ def add_source_terms_multi_group(
     include_work = opts.beta_order != 0 and opts.include_work_term
 
     # ---- Newton solve in (Egas, R_g)
+    resid_tol = max(RESID_TOL, 50.0 * float(jnp.finfo(jnp.asarray(Egas0).dtype).eps))
+
     def newton(work):
         T0 = eos.tgas_from_eint(rho, Egas0)
         B0 = fourPiB_groups(T0)
@@ -95,7 +97,7 @@ def add_source_terms_multi_group(
             F0 = Egas_g - Egas0 + cscale * jnp.sum(R_g, axis=0)
             Fg = Erad_g - Erad0 - (R_g + Src)
             Fg_abs_sum = jnp.sum(jnp.where(tau > 0.0, jnp.abs(Fg), 0.0), axis=0)
-            conv = (jnp.abs(F0) < RESID_TOL * Etot0) & (cscale * Fg_abs_sum < RESID_TOL * Etot0)
+            conv = (jnp.abs(F0) < resid_tol * Etot0) & (cscale * Fg_abs_sum < resid_tol * Etot0)
             done_new = done | conv
 
             c_v = eos.eint_temp_derivative(rho, T_g)

@@ -247,6 +247,11 @@ def _newton_energy_exchange(
     tau0 = dt * rho * kP0 * chat
     R = (fourPiB0 - Erad0 / kPoE0) * tau0 + work
 
+    # convergence tolerance scales with the working precision: the reference
+    # 1e-11 is unreachable in f32 (or the f32 components of TPU double-double
+    # round-off paths) and would spin the loop to maxIter
+    resid_tol = max(RESID_TOL, 50.0 * float(jnp.finfo(jnp.asarray(Egas0).dtype).eps))
+
     def residuals(Egas_g, Erad_g, R_g):
         F_G = Egas_g - Egas0 + cscale * R_g
         F_D = Erad_g - Erad0 - (R_g + Src)
@@ -261,7 +266,7 @@ def _newton_energy_exchange(
 
         F_G, F_D = residuals(Egas_g, Erad_g, R_g)
         F_D_abs = jnp.where(tau > 0.0, jnp.abs(F_D), jnp.abs(F_D + R_g))
-        conv = (jnp.abs(F_G) < RESID_TOL * Etot0) & (cscale * F_D_abs < RESID_TOL * Etot0)
+        conv = (jnp.abs(F_G) < resid_tol * Etot0) & (cscale * F_D_abs < resid_tol * Etot0)
         done_new = done | conv
 
         c_v = eos.eint_temp_derivative(rho, T_g)

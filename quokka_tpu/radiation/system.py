@@ -177,10 +177,12 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
     erad_L, F3_L, f3_L = unpack(qL, consL)
     erad_R, F3_R, f3_R = unpack(qR, consR)
 
-    FL, S_L = _rad_pressure_flux(erad_L, F3_L, f3_L, axis)
-    FR, S_R = _rad_pressure_flux(erad_R, F3_R, f3_R, axis)
-    S_L = -S_L * chat
-    S_R = S_R * chat
+    FL, s_L = _rad_pressure_flux(erad_L, F3_L, f3_L, axis)
+    FR, s_R = _rad_pressure_flux(erad_R, F3_R, f3_R, axis)
+    # wave speeds are S_L = -s_L chat, S_R = +s_R chat with s in [0.1, 1];
+    # chat is kept factored out of the HLL combination below: TPU f64 is
+    # emulated as float32 pairs (double-double) with the *f32 exponent
+    # range*, and the naive S_R * F intermediate (~1e42 in CGS) overflows it
 
     # reduced-speed-of-light scaling (reference radiation_system.hpp:1092-1099)
     FL = [FL[0] * (chat / c)] + [Fi * (chat * c) for Fi in FL[1:]]
@@ -191,8 +193,11 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
     FLv = jnp.stack(FL)
     FRv = jnp.stack(FR)
 
-    dS = S_R - S_L
-    F = (S_R[None] * FLv - S_L[None] * FRv + (S_R * S_L)[None] * (U_R - U_L)) / dS[None]
+    # F = (S_R F_L - S_L F_R + S_R S_L (U_R - U_L)) / (S_R - S_L), with the
+    # common chat factor cancelled analytically:
+    inv = 1.0 / (s_R + s_L)
+    F = (s_R * inv)[None] * FLv + (s_L * inv)[None] * FRv \
+        - ((s_R * s_L * inv) * chat)[None] * (U_R - U_L)
     return F
 
 

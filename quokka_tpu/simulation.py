@@ -189,11 +189,38 @@ class Simulation:
                     )
                 return U
 
+            # the hydro advance operates on the hydro block only; radiation
+            # components are evolved solely by the radiation subsystem
+            # (reference: hydro fluxes cover ncompHydro_ components,
+            # QuokkaSimulation.hpp:1104)
+            nh = self.layout.nvar_hydro
+            if self.layout.radiation_enabled:
+                from .indices import StateLayout
+
+                layout_h = StateLayout(
+                    hydro_enabled=True, radiation_enabled=False,
+                    n_scalars=self.layout.n_scalars,
+                    n_mscalars=self.layout.n_mscalars,
+                )
+
+                def fill_h(X):
+                    return fill_ghosts(
+                        X, self.ng, self.problem.bcs, layout_h,
+                        problem=self.problem, grid=self.grid,
+                    )
+            else:
+                fill_h = self._fill
+
             def step(U, dt):
                 U = strang(U, 0.5 * dt)
-                U_new, stats = hydro_advance.advance_hydro_rk2(
-                    U, dt, opts, self._fill, ng, periodic
+                Uh = U[:nh]
+                Uh_new, stats = hydro_advance.advance_hydro_rk2(
+                    Uh, dt, opts, fill_h, ng, periodic
                 )
+                if nh < U.shape[0]:
+                    U_new = jnp.concatenate([Uh_new, U[nh:]], axis=0)
+                else:
+                    U_new = Uh_new
                 U_new = strang(U_new, 0.5 * dt)
                 # post-step CFL / validity diagnostics (reference isCflViolated,
                 # src/QuokkaSimulation.hpp:992-1013)
