@@ -50,6 +50,12 @@ class RadiationAdvance:
             max_substeps=pp.get_int("radiation.max_substeps", 10),
             include_work_term=bool(pp.get_int("radiation.include_work_term", 1)),
             n_groups=problem.physics.n_groups,
+            use_pallas=bool(
+                pp.get_int(
+                    "radiation.use_pallas",
+                    0 if jax.default_backend() == "cpu" else 1,
+                )
+            ),
         )
         self.rad_start = sim.layout.rad_start
         self.boundaries = tuple(rt.group_edges) if rt.group_edges else (0.0, float("inf"))

@@ -45,6 +45,7 @@ class RadOptions:
     max_substeps: int = 10
     include_work_term: bool = True
     n_groups: int = 1
+    use_pallas: bool = False  # fused Pallas transport sweep (TPU hot path)
 
 
 def eddington_factor(f: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +132,14 @@ def compute_rad_fluxes(
     prim = rad_cons_to_prim(R, c)
     prim_flat = prim.reshape(G * 4, *spatial)
     cons_flat = R.reshape(G * 4, *spatial)
+
+    if opts.use_pallas and len(active_axes) == 3:
+        from .pallas_sweep import compute_rad_axis_flux_pallas
+
+        return {
+            d: compute_rad_axis_flux_pallas(prim_flat, cons_flat, d, opts, G)
+            for d in active_axes
+        }
 
     fluxes = {}
     for d in active_axes:
