@@ -191,7 +191,11 @@ def bench_radhydro(sim, n_warmup: int = 1, n_steps: int = 5):
 
     def full_step(U, t):
         U = hydro_jit(U)
-        U = rad.run_steps(U, t, dt_rad, nsub)
+        # async python-loop dispatch of the substeps (a lax.scan would
+        # double-buffer the carry through the substep graph, as measured
+        # for the hydro loop)
+        for i in range(nsub):
+            U, _st = rad._substep_jit(U, t + i * dt_rad, dt_rad)
         return U
 
     U = sim.U

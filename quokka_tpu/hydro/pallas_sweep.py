@@ -194,6 +194,11 @@ def _block_spec_4d(nv, X, Y, Z, axis, BT):
     return shape, imap, grid
 
 
+import os
+
+_BLOCK_TRANSVERSE = int(os.environ.get("QUOKKA_PALLAS_BT", "8"))
+
+
 def compute_axis_flux_pallas(
     prim: jnp.ndarray,
     axis: int,
@@ -201,8 +206,10 @@ def compute_axis_flux_pallas(
     chi_cell: jnp.ndarray | None,
     dmins: dict,
     first_order: bool = False,
-    block_transverse: int = 8,
+    block_transverse: int | None = None,
 ):
+    if block_transverse is None:
+        block_transverse = _BLOCK_TRANSVERSE
     """Single fused kernel: flux + face velocity for one sweep axis."""
     nv = prim.shape[0]
     _, X, Y, Z = prim.shape

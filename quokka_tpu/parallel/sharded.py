@@ -38,14 +38,28 @@ def build_sharded_step(
 ):
     """Returns a jitted `(U, dt) -> (U_new, stats)` operating on globally
     sharded arrays. stats values are replicated scalars."""
-    fill = make_sharded_fill(decomp, ng, bcs, layout, problem, grid)
+    # hydro advances only the hydro block (radiation comps belong to the
+    # radiation subsystem)
+    from ..indices import StateLayout
+
+    nh = layout.nvar_hydro
+    layout_h = (
+        StateLayout(hydro_enabled=True, radiation_enabled=False,
+                    n_scalars=layout.n_scalars, n_mscalars=layout.n_mscalars)
+        if layout.radiation_enabled else layout
+    )
+    fill = make_sharded_fill(decomp, ng, bcs, layout_h, problem, grid)
     mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
     red_axes = tuple(AXIS_NAMES[d] for d in decomp.sharded_dims())
 
     def local_step(U_local, dt):
-        U_new, st = hydro_advance.advance_hydro_rk2(
-            U_local, dt, opts, fill, ng, periodic, mask_fill
+        Uh_new, st = hydro_advance.advance_hydro_rk2(
+            U_local[:nh], dt, opts, fill, ng, periodic, mask_fill
         )
+        if nh < U_local.shape[0]:
+            U_new = jnp.concatenate([Uh_new, U_local[nh:]], axis=0)
+        else:
+            U_new = Uh_new
         smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
         valid = jnp.all(euler.is_state_valid(U_new, opts.eos))
         n_fofc = st["n_fofc"]

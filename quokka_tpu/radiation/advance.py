@@ -82,6 +82,65 @@ class RadiationAdvance:
         def with_rad(U, R):
             return U.at[rad_start:].set(R.reshape(G * 4, *U.shape[1:]))
 
+        # transport only reads the radiation block (+ gas only via the
+        # optional optical-depth wavespeed correction); when no user BC hook
+        # needs the full state, fill just the rad components (the fill is
+        # ~27% of a substep at 256^3)
+        from ..registry import BC_USER
+        from ..boundaries import fill_ghosts
+        from ..indices import StateLayout
+
+        has_user_bc = any(
+            BC_USER in problem.bcs.axis(d) for d in range(3)
+        )
+        if sim.decomp is not None:
+            # multi-chip: halo-exchange the radiation slice over the mesh
+            from ..parallel.halo import make_sharded_fill
+
+            class _RadSliceLayoutS:
+                nvar = 4 * G
+                hydro_enabled = False
+                radiation_enabled = True
+                n_groups = G
+
+                @staticmethod
+                def rad_index(g, comp):
+                    return 4 * g + comp
+
+            sharded_fill_r = make_sharded_fill(
+                sim.decomp, sim.ng, problem.bcs, _RadSliceLayoutS(),
+                problem if has_user_bc else None, sim.grid,
+            )
+            fill_for_transport = lambda U: sharded_fill_r(U[rad_start:])
+            rad_start_eff = 0
+        elif has_user_bc or opts.use_wavespeed_correction:
+            fill_for_transport = sim._fill
+            rad_start_eff = rad_start
+        else:
+            class _RadSliceLayout:
+                """Layout of the bare radiation slice (rad comps start at 0)."""
+
+                nvar = 4 * G
+                hydro_enabled = False
+                radiation_enabled = True
+                n_groups = G
+
+                @staticmethod
+                def rad_index(g, comp):
+                    return 4 * g + comp
+
+            layout_r = _RadSliceLayout()
+
+            def fill_rad_only(U):
+                Ur = U[rad_start:]
+                return fill_ghosts(
+                    Ur, sim.ng, problem.bcs, layout_r,
+                    problem=None, grid=sim.grid,
+                )
+
+            fill_for_transport = fill_rad_only
+            rad_start_eff = 0
+
         multigroup = G > 1
         boundaries = self.boundaries
         kB = problem.eos_traits.boltzmann_constant
@@ -103,15 +162,20 @@ class RadiationAdvance:
             # whole solve in the state dtype
             dt = jnp.asarray(dt, U.dtype)
             time = jnp.asarray(time, U.dtype)
-            rad_src = jnp.asarray(
-                problem.set_radiation_energy_source(sim.grid, time), U.dtype
-            )
+            if sim.decomp is not None:
+                # inside shard_map the arrays are shard-local; user radiation
+                # sources need per-shard coordinates (ROADMAP) -- zeros here
+                rad_src = jnp.zeros(U.shape[1:], U.dtype)
+            else:
+                rad_src = jnp.asarray(
+                    problem.set_radiation_energy_source(sim.grid, time), U.dtype
+                )
             if multigroup and rad_src.ndim == 3:
                 rad_src = jnp.broadcast_to(rad_src[None], (G, *rad_src.shape)) / G
 
             # stage 1: forward-Euler transport
-            Ug0 = sim._fill(U)
-            fluxes0 = compute_rad_fluxes(Ug0, rad_start, opts, active, dx)
+            Ug0 = fill_for_transport(U)
+            fluxes0 = compute_rad_fluxes(Ug0, rad_start_eff, opts, active, dx)
             divF0 = interior(rad_div_fluxes(fluxes0, dx), ng)
             R0 = rad_part(U)
             R1 = predict_step(R0, divF0, dt, opts)
@@ -121,17 +185,36 @@ class RadiationAdvance:
             U1, st1 = source_update(U1, rad_src, dt, 1)
 
             # stage 2: midpoint RK2 transport from the source-updated state
-            Ug1 = sim._fill(U1)
-            fluxes1 = compute_rad_fluxes(Ug1, rad_start, opts, active, dx)
+            Ug1 = fill_for_transport(U1)
+            fluxes1 = compute_rad_fluxes(Ug1, rad_start_eff, opts, active, dx)
             divF1 = interior(rad_div_fluxes(fluxes1, dx), ng)
             R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
             U2 = with_rad(U1, R_new)
 
             # stage-2 matter coupling
             U2, st2 = source_update(U2, rad_src, dt, 2)
-            return U2, {"newton_iters_max": jnp.maximum(st1["newton_iters_max"], st2["newton_iters_max"])}
+            n_it = jnp.maximum(st1["newton_iters_max"], st2["newton_iters_max"])
+            if sim.decomp is not None:
+                from ..parallel.decomp import AXIS_NAMES
 
-        self._substep_jit = jax.jit(substep)
+                red = tuple(AXIS_NAMES[d] for d in sim.decomp.sharded_dims())
+                if red:
+                    n_it = jax.lax.pmax(n_it, red)
+            return U2, {"newton_iters_max": n_it}
+
+        if sim.decomp is not None:
+            from jax.sharding import PartitionSpec as P
+
+            spec = sim.decomp.state_spec()
+            substep_mapped = jax.shard_map(
+                substep, mesh=sim.decomp.mesh,
+                in_specs=(spec, P(), P()),
+                out_specs=(spec, {"newton_iters_max": P()}),
+                check_vma=False,
+            )
+            self._substep_jit = jax.jit(substep_mapped)
+        else:
+            self._substep_jit = jax.jit(substep)
 
         # device-side multi-substep runner: one lax.scan per call (used for
         # subcycles and long constant-dt radiation runs; avoids per-substep
@@ -166,6 +249,11 @@ class RadiationAdvance:
         dt_rad = dt_hydro / nsub
         if nsub == 1:
             U, _stats = self._substep_jit(U, time, dt_rad)
+            return U
+        if self.sim.decomp is not None:
+            # sharded: async python-loop dispatch of the shard_mapped substep
+            for i in range(nsub):
+                U, _stats = self._substep_jit(U, time + i * dt_rad, dt_rad)
             return U
         return self._run_steps_jit(U, time, dt_rad, nsub)
 

@@ -71,3 +71,31 @@ def test_sharded_periodic_3d():
     # mass and energy conservation (periodic box)
     assert abs(sim.conservation_rel_err[0]) < 1e-12
     assert abs(sim.conservation_rel_err[4]) < 1e-12
+
+
+def test_sharded_radhydro_matches_single_device():
+    """Coupled radhydro (transport halos + local implicit coupling) sharded
+    over 4 devices must match the single-device run."""
+    from quokka_tpu.problems.radhydro_bench import RadhydroBenchProblem
+
+    cfg = """
+    geometry.prob_hi = 1. 1. 1.
+    amr.n_cell = 32 32 32
+    cfl = 0.3
+    radiation.cfl = 0.3
+    stop_time = 1.0e-1
+    max_timesteps = 4
+    verbose = 0
+    """
+
+    def run(decomp):
+        sim = Simulation(RadhydroBenchProblem(), ParmParse.from_string(cfg), decomp=decomp)
+        sim.set_initial_conditions()
+        sim.evolve()
+        return np.asarray(sim.U), sim.istep
+
+    U1, n1 = run(None)
+    decomp = make_decomposition((32, 32, 32), devices=jax.devices()[:4], tiles=(2, 2, 1))
+    U4, n4 = run(decomp)
+    assert n1 == n4 and n1 >= 4
+    np.testing.assert_allclose(U4, U1, rtol=5e-11, atol=1e-13)
