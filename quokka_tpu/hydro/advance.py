@@ -224,7 +224,9 @@ def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = Fals
     coords. `first_order=True` gives the donor-cell + LLF backup fluxes used
     for FOFC (reference `computeFOHydroFluxes`,
     ``src/QuokkaSimulation.hpp:1520-1570``)."""
-    if opts.use_pallas and len(opts.active_axes) == 3:
+    # Pallas custom calls cannot carry f64 operands on TPU (the XLA
+    # double-double rewriter does not see inside them): f32 only
+    if opts.use_pallas and len(opts.active_axes) == 3 and Ug.dtype == jnp.float32:
         from .pallas_sweep import compute_fluxes_pallas
 
         return compute_fluxes_pallas(Ug, opts, first_order)

@@ -4,4 +4,14 @@ Each module defines one or more registered `Problem` subclasses mirroring
 the reference's ``src/problems/*`` applications.
 """
 
-from . import sedov, shocktube  # noqa: F401
+from . import (  # noqa: F401
+    advection,
+    kelvin_helmholtz,
+    leblanc,
+    rad_matter_coupling,
+    rad_pulse,
+    rad_streaming,
+    radhydro_bench,
+    sedov,
+    shocktube,
+)

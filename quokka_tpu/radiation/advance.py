@@ -153,6 +153,13 @@ class RadiationAdvance:
                     U, rad_src, dt, stage, opts, eos, problem, rad_start,
                     boundaries, kB,
                 )
+            if opts.use_pallas and U.dtype == jnp.float32:
+                from .pallas_source import source_update_pallas
+
+                return source_update_pallas(
+                    U, rad_src, dt, stage, opts, eos,
+                    kappa_p, kappa_e, kappa_f, rad_start,
+                )
             return add_source_terms_single_group(
                 U, rad_src, dt, stage, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
             )

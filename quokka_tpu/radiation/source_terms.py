@@ -54,6 +54,7 @@ def add_source_terms_single_group(
     kappa_e,
     kappa_f,
     rad_start: int,
+    unroll_iters: int | None = None,
 ):
     """Apply the implicit matter-coupling update in place on the interior
     state U [nvar, nx, ny, nz]. Returns (U_new, stats).
@@ -88,7 +89,7 @@ def add_source_terms_single_group(
     if not isothermal:
         Egas_guess, Erad_guess, R, work, kappaP, kappaE, kappaF, T_gas, fourPiBoverC, n_iter_max = _newton_energy_exchange(
             Egas0, Erad0, rho, mom0, Frad0, Src, Etot0, dt, opts, eos,
-            kappa_p, kappa_e, kappa_f,
+            kappa_p, kappa_e, kappa_f, unroll_iters=unroll_iters,
         )
     else:
         T_gas = jnp.zeros_like(rho)
@@ -146,6 +147,7 @@ def add_source_terms_single_group(
             Egas_n, Erad_n, R_n, _w, kP, kE, kF, Tg, fourPiB, _ni = _newton_energy_exchange(
                 Egas0, Erad0, rho, mom0, Frad0, Src, Etot0, dt, opts, eos,
                 kappa_p, kappa_e, kappa_f, work_init=work_g,
+                unroll_iters=unroll_iters,
             )
             Frad_n, dMom_n = flux_update(Egas_n, Erad_n, work_g, kP, kE, kF, fourPiB)
 
@@ -192,21 +194,32 @@ def add_source_terms_single_group(
         )
         carry = (jnp.int32(1), done_i, Egas_guess, Erad_guess, R,
                  jnp.where(done_i, work, work_i), Frad_i, dMom_i)
-        n_outer, _done, Egas_guess, Erad_guess, R, work, Frad_t1, dMom = lax.while_loop(
-            outer_cond, outer_body, carry
-        )
+        if unroll_iters is not None:
+            for _ in range(2):  # work-term lag converges in 1-2 iterations
+                carry = outer_body(carry)
+            n_outer, _done, Egas_guess, Erad_guess, R, work, Frad_t1, dMom = carry
+        else:
+            n_outer, _done, Egas_guess, Erad_guess, R, work, Frad_t1, dMom = lax.while_loop(
+                outer_cond, outer_body, carry
+            )
 
-    # ---- final state update with the stage factor
+    # ---- final state update with the stage factor (assembled as a
+    # component list so the whole function lowers inside Pallas kernels)
     mom1 = mom0 + dMom * gas_update_factor
-    out = U
-    out = out.at[MX1].set(mom1[0]).at[MX1 + 1].set(mom1[1]).at[MX1 + 2].set(mom1[2])
+    comps = [U[i] for i in range(U.shape[0])]
+    comps[MX1] = mom1[0]
+    comps[MX1 + 1] = mom1[1]
+    comps[MX1 + 2] = mom1[2]
     if not isothermal:
         Egas_final = Egas0 + (Egas_guess - Egas0) * gas_update_factor
         ke1 = 0.5 * jnp.sum(mom1 * mom1, axis=0) / rho
-        out = out.at[EINT].set(Egas_final)
-        out = out.at[EGAS].set(Egas_final + ke1)
-        out = out.at[iE].set(Erad_guess)
-    out = out.at[iFx].set(Frad_t1[0]).at[iFy].set(Frad_t1[1]).at[iFz].set(Frad_t1[2])
+        comps[EINT] = Egas_final
+        comps[EGAS] = Egas_final + ke1
+        comps[iE] = Erad_guess
+    comps[iFx] = Frad_t1[0]
+    comps[iFy] = Frad_t1[1]
+    comps[iFz] = Frad_t1[2]
+    out = jnp.stack(comps)
 
     stats = {"newton_iters_max": n_iter_max}
     return out, stats
@@ -214,7 +227,7 @@ def add_source_terms_single_group(
 
 def _newton_energy_exchange(
     Egas0, Erad0, rho, mom0, Frad0, Src, Etot0, dt, opts: RadOptions, eos,
-    kappa_p, kappa_e, kappa_f, work_init=None,
+    kappa_p, kappa_e, kappa_f, work_init=None, unroll_iters: int | None = None,
 ):
     """Whole-array Newton-Raphson for the (Egas, R) system (reference
     source_terms_single_group.hpp:104-360, single group, no dust).
@@ -321,9 +334,17 @@ def _newton_energy_exchange(
     done0 = jnp.zeros_like(rho, dtype=bool)
     carry0 = (jnp.int32(0), done0, Egas0, Erad0, R, T0, fourPiB0,
               kP0, kE0, kF0, kPoE0, tau0)
-    n_final, done, Egas_g, Erad_g, R_g, T_g, fourPiB, kP, kE, kF, kPoE, tau = lax.while_loop(
-        cond, body, carry0
-    )
+    if unroll_iters is not None:
+        # fixed-unroll variant (Pallas kernels: no 64-bit scalar predicate
+        # reductions; converged cells are frozen by the masks)
+        carry = carry0
+        for _ in range(unroll_iters):
+            carry = body(carry)
+        n_final, done, Egas_g, Erad_g, R_g, T_g, fourPiB, kP, kE, kF, kPoE, tau = carry
+    else:
+        n_final, done, Egas_g, Erad_g, R_g, T_g, fourPiB, kP, kE, kF, kPoE, tau = lax.while_loop(
+            cond, body, carry0
+        )
 
     # kappaF at the final temperature (reference :363-366)
     kF = kappa_f(rho, T_g)

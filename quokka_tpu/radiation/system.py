@@ -133,7 +133,7 @@ def compute_rad_fluxes(
     prim_flat = prim.reshape(G * 4, *spatial)
     cons_flat = R.reshape(G * 4, *spatial)
 
-    if opts.use_pallas and len(active_axes) == 3:
+    if opts.use_pallas and len(active_axes) == 3 and prim_flat.dtype == jnp.float32:
         from .pallas_sweep import compute_rad_axis_flux_pallas
 
         return {

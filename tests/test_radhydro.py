@@ -88,3 +88,57 @@ def test_uniform_advecting_stays_uniform():
     assert abs(U1[iE][0, 0, 0] - A_RAD * T0**4) / (A_RAD * T0**4) < 1e-3
     # momentum conserved
     assert abs(U1[MX1].mean() - RHO0 * V0) / (RHO0 * V0) < 1e-6
+
+
+def test_multigroup_radhydro_smoke():
+    """Coupled multigroup radhydro: uniform equilibrium stays finite and
+    near-uniform over a few steps (2 groups)."""
+    from quokka_tpu.problems.radhydro_bench import RadhydroBenchProblem
+    from quokka_tpu.registry import PhysicsTraits, RadTraits
+
+    class MG(RadhydroBenchProblem):
+        name = "RadhydroBenchMG"
+        physics = PhysicsTraits(hydro_enabled=True, radiation_enabled=True, n_groups=2)
+        rad = RadTraits(
+            c_light=1.0e3, c_hat=1.0e2, radiation_constant=1.0,
+            Erad_floor=1e-10, beta_order=1, group_edges=(1e-3, 1.0, 1e3),
+        )
+
+        def set_initial_conditions(self, grid):
+            import jax.numpy as jnp
+
+            from quokka_tpu.radiation.planck import planck_energy_fractions
+
+            U = super().set_initial_conditions(grid)
+            layout = self.physics.layout()
+            # split the single-group IC into 2 groups by Planck fractions
+            iE0 = layout.rad_index(0, 0)
+            E_tot = U[iE0]
+            from quokka_tpu.indices import EGAS, RHO
+
+            eos = self.make_eos()
+            T = eos.tgas_from_eint(U[RHO], U[EGAS])
+            fr = planck_energy_fractions(self.rad.group_edges, T, 1.0)
+            U = U.at[layout.rad_index(0, 0)].set(E_tot * fr[0])
+            U = U.at[layout.rad_index(1, 0)].set(E_tot * fr[1])
+            return U
+
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_hi = 1. 1. 1.
+        amr.n_cell = 16 16 16
+        cfl = 0.3
+        radiation.cfl = 0.3
+        stop_time = 1.0
+        max_timesteps = 4
+        verbose = 0
+        """
+    )
+    sim = Simulation(MG(), pp)
+    sim.set_initial_conditions()
+    sim.evolve()
+    U = np.asarray(sim.U)
+    assert sim.istep == 4
+    assert np.all(np.isfinite(U))
+    for g in range(2):
+        assert np.all(U[sim.layout.rad_index(g, 0)] > 0)
