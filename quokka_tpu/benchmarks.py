@@ -123,6 +123,17 @@ def build_step_runner(sim):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def _sync(x):
+    """Force completion of everything feeding `x`.
+
+    `jax.block_until_ready` is not a reliable execution barrier on remote
+    TPU backends (it can return once the dispatch is enqueued); fetching a
+    scalar derived from the array is: the host copy cannot start until the
+    producing computation has finished.
+    """
+    return float(jnp.max(jnp.abs(x[..., :1, :1, :1])))
+
+
 def bench_hydro(sim, n_warmup: int = 2, n_steps: int = 10, dt_init: float = 1e-8):
     """Time `n_steps` async-dispatched steps; returns (Mzones_per_sec, s)."""
     import time
@@ -137,12 +148,12 @@ def bench_hydro(sim, n_warmup: int = 2, n_steps: int = 10, dt_init: float = 1e-8
     dt = jnp.asarray(dt_init, dtype=dtype)
     for _ in range(n_warmup):
         U, dt = step(U, dt)
-    jax.block_until_ready(U)
+    _sync(U)
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         U, dt = step(U, dt)
-    jax.block_until_ready(U)
+    _sync(U)
     elapsed = time.perf_counter() - t0
 
     zones = sim.grid.num_cells * n_steps
@@ -203,13 +214,13 @@ def bench_radhydro(sim, n_warmup: int = 1, n_steps: int = 5):
     for _ in range(n_warmup):
         U = full_step(U, t)
         t += dt
-    jax.block_until_ready(U)
+    _sync(U)
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
         U = full_step(U, t)
         t += dt
-    jax.block_until_ready(U)
+    _sync(U)
     elapsed = time.perf_counter() - t0
 
     zones = sim.grid.num_cells * n_steps

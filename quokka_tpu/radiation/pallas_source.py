@@ -50,7 +50,7 @@ def source_update_pallas(U, rad_src, dt, stage, opts, eos,
         dt_val = dt_ref[0]
         out, _stats = add_source_terms_single_group(
             U_blk, src_blk, dt_val, stage, opts, eos,
-            kappa_p, kappa_e, kappa_f, rad_start, unroll_iters=8,
+            kappa_p, kappa_e, kappa_f, rad_start, unroll_iters=None,
         )
         out_ref[...] = out
 

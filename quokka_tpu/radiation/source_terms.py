@@ -139,10 +139,11 @@ def add_source_terms_single_group(
         # outer loop: lag the work term, re-solving the energy exchange
         def outer_cond(carry):
             ite, done, *_ = carry
-            return jnp.logical_and(ite < MAX_OUTER_ITER, jnp.logical_not(jnp.all(done)))
+            return jnp.logical_and(ite < MAX_OUTER_ITER, jnp.min(done) < 0.5)
 
         def outer_body(carry):
-            ite, done, Egas_g, Erad_g, R_g, work_g, Frad_g, dMom_g = carry
+            ite, done_f, Egas_g, Erad_g, R_g, work_g, Frad_g, dMom_g = carry
+            done = done_f > 0.5
             # redo Newton with the current work term
             Egas_n, Erad_n, R_n, _w, kP, kE, kF, Tg, fourPiB, _ni = _newton_energy_exchange(
                 Egas0, Erad0, rho, mom0, Frad0, Src, Etot0, dt, opts, eos,
@@ -178,7 +179,8 @@ def add_source_terms_single_group(
             work_g = jnp.where(done, work_g, work_new)
             Frad_g = jnp.where(keep, Frad_g, Frad_n)
             dMom_g = jnp.where(keep, dMom_g, dMom_n)
-            return (ite + 1, done_new, Egas_g, Erad_g, R_g, work_g, Frad_g, dMom_g)
+            return (ite + 1, done_new.astype(done_f.dtype), Egas_g, Erad_g,
+                    R_g, work_g, Frad_g, dMom_g)
 
         Frad_i, dMom_i = flux_update(Egas_guess, Erad_guess, work, kappaP, kappaE, kappaF, fourPiBoverC)
         mom1_i = mom0 + dMom_i
@@ -192,8 +194,8 @@ def add_source_terms_single_group(
             | (dwork_i <= LAG_TOL * jnp.abs(R))
             | (dwork_i <= 1.0e-8 * jnp.abs(work_i))
         )
-        carry = (jnp.int32(1), done_i, Egas_guess, Erad_guess, R,
-                 jnp.where(done_i, work, work_i), Frad_i, dMom_i)
+        carry = (jnp.int32(1), done_i.astype(work.dtype), Egas_guess,
+                 Erad_guess, R, jnp.where(done_i, work, work_i), Frad_i, dMom_i)
         if unroll_iters is not None:
             for _ in range(2):  # work-term lag converges in 1-2 iterations
                 carry = outer_body(carry)
@@ -270,9 +272,11 @@ def _newton_energy_exchange(
         F_D = Erad_g - Erad0 - (R_g + Src)
         return F_G, F_D
 
+    # `done` is carried as a 0/1 float mask, not bool: Mosaic's while-loop
+    # lowering cannot yield i1 vector carries (scf.yield fails to legalize)
     def cond(carry):
         n, done, *_ = carry
-        return jnp.logical_and(n < MAX_NEWTON_ITER, jnp.logical_not(jnp.all(done)))
+        return jnp.logical_and(n < MAX_NEWTON_ITER, jnp.min(done) < 0.5)
 
     def body(carry):
         n, done, Egas_g, Erad_g, R_g, T_g, fourPiB, kP, kE, kF, kPoE, tau = carry
@@ -280,7 +284,7 @@ def _newton_energy_exchange(
         F_G, F_D = residuals(Egas_g, Erad_g, R_g)
         F_D_abs = jnp.where(tau > 0.0, jnp.abs(F_D), jnp.abs(F_D + R_g))
         conv = (jnp.abs(F_G) < resid_tol * Etot0) & (cscale * F_D_abs < resid_tol * Etot0)
-        done_new = done | conv
+        done_new = (done > 0.5) | conv
 
         c_v = eos.eint_temp_derivative(rho, T_g)
         d_fourpiB_dT = 4.0 * opts.arad * T_g**3
@@ -328,10 +332,10 @@ def _newton_energy_exchange(
         kPoE_new = jnp.where(done_new, kPoE, kPoE_new)
         tau_new = jnp.where(done_new, tau, tau_new)
 
-        return (n + 1, done_new, Egas_new, Erad_new, R_new, T_new, fourPiB_new,
-                kP_new, kE_new, kF, kPoE_new, tau_new)
+        return (n + 1, done_new.astype(done.dtype), Egas_new, Erad_new, R_new,
+                T_new, fourPiB_new, kP_new, kE_new, kF, kPoE_new, tau_new)
 
-    done0 = jnp.zeros_like(rho, dtype=bool)
+    done0 = jnp.zeros_like(rho)
     carry0 = (jnp.int32(0), done0, Egas0, Erad0, R, T0, fourPiB0,
               kP0, kE0, kF0, kPoE0, tau0)
     if unroll_iters is not None:
