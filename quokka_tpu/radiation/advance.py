@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..stencil import interior
 from .source_terms import add_source_terms_single_group
-from .system import RadOptions, add_fluxes_rk2, compute_rad_fluxes, predict_step, rad_div_fluxes
+from .system import RadOptions, add_fluxes_rk2, predict_step, rad_transport_div
 
 
 class RadiationAdvance:
@@ -182,8 +182,7 @@ class RadiationAdvance:
 
             # stage 1: forward-Euler transport
             Ug0 = fill_for_transport(U)
-            fluxes0 = compute_rad_fluxes(Ug0, rad_start_eff, opts, active, dx)
-            divF0 = interior(rad_div_fluxes(fluxes0, dx), ng)
+            divF0 = interior(rad_transport_div(Ug0, rad_start_eff, opts, active, dx), ng)
             R0 = rad_part(U)
             R1 = predict_step(R0, divF0, dt, opts)
             U1 = with_rad(U, R1)
@@ -193,8 +192,7 @@ class RadiationAdvance:
 
             # stage 2: midpoint RK2 transport from the source-updated state
             Ug1 = fill_for_transport(U1)
-            fluxes1 = compute_rad_fluxes(Ug1, rad_start_eff, opts, active, dx)
-            divF1 = interior(rad_div_fluxes(fluxes1, dx), ng)
+            divF1 = interior(rad_transport_div(Ug1, rad_start_eff, opts, active, dx), ng)
             R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
             U2 = with_rad(U1, R_new)
 

@@ -64,3 +64,61 @@ def compute_rad_axis_flux_pallas(prim_flat, cons_flat, axis, opts, G,
         ),
     )(prim_flat, cons_flat)
     return flux.reshape(G, 4, X, Y, Z)
+
+
+def compute_rad_div_pallas(cons_flat, axis, opts, G, dx_axis,
+                           block_transverse: int = 8):
+    """Per-axis flux-divergence contribution [4G, X, Y, Z] (padded coords)
+    for the radiation transport, fused into one kernel.
+
+    Compared to `compute_rad_axis_flux_pallas` + an XLA divergence pass,
+    this derives the primitive (E, f) variables in-kernel from the
+    conserved block (halving the HBM input traffic) and differences the
+    face fluxes along the sweep axis inside VMEM (the whole sweep axis is
+    in-block), eliminating the separate divergence pass. The top padded
+    cell along the sweep axis wraps and is garbage; callers slice the
+    interior as with the XLA path.
+    """
+    from .system import _hll_group_flux
+
+    nv = cons_flat.shape[0]
+    _, X, Y, Z = cons_flat.shape
+    dtype = cons_flat.dtype
+    c = opts.c
+    inv_dx = 1.0 / dx_axis
+
+    shape4, imap4, grid = _block_spec_4d(nv, X, Y, Z, axis, block_transverse)
+
+    def kernel(cons_ref, div_ref):
+        cons_blk = cons_ref[...]
+        ax = axis + 1
+        bs = cons_blk.shape[1:]
+        consg = cons_blk.reshape(G, 4, *bs)
+        E = consg[:, 0:1]
+        f = consg[:, 1:4] / (c * E)
+        prim_blk = jnp.concatenate([E, f], axis=1).reshape(nv, *bs)
+
+        qL, qR = reconstruct.reconstruct_faces(prim_blk, axis, opts.reconstruction_order)
+        cL = sh(cons_blk, -1, ax)
+        cR = cons_blk
+        qLg = qL.reshape(G, 4, *bs)
+        qRg = qR.reshape(G, 4, *bs)
+        cLg = cL.reshape(G, 4, *bs)
+        cRg = cR.reshape(G, 4, *bs)
+        F = jnp.stack([
+            _hll_group_flux(qLg[g], qRg[g], cLg[g], cRg[g], axis, opts)
+            for g in range(G)
+        ]).reshape(nv, *bs)
+        div_ref[...] = (F - sh(F, 1, ax)) * inv_dx
+
+    div = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+    )(cons_flat)
+    return div.reshape(G, 4, X, Y, Z)

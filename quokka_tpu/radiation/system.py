@@ -210,6 +210,37 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
     return F
 
 
+def rad_transport_div(
+    Ug: jnp.ndarray,
+    rad_start: int,
+    opts: RadOptions,
+    active_axes: Sequence[int],
+    dx: Sequence[float],
+) -> jnp.ndarray:
+    """Total transport flux divergence sum_d (F_d(f) - F_d(f+1))/dx_d on
+    padded cells, [G, 4, X, Y, Z].
+
+    On the TPU hot path (f32, 3D) each axis runs as one fused Pallas
+    kernel that derives the primitives in-kernel and emits its divergence
+    contribution directly; otherwise falls back to the flux dict + XLA
+    divergence formulation.
+    """
+    if opts.use_pallas and len(active_axes) == 3 and Ug.dtype == jnp.float32:
+        from .pallas_sweep import compute_rad_div_pallas
+
+        G = opts.n_groups
+        spatial = Ug.shape[1:]
+        cons_flat = Ug[rad_start:].reshape(G * 4, *spatial)
+        out = None
+        for d in active_axes:
+            contrib = compute_rad_div_pallas(cons_flat, d, opts, G, dx[d])
+            out = contrib if out is None else out + contrib
+        return out
+    return rad_div_fluxes(
+        compute_rad_fluxes(Ug, rad_start, opts, active_axes, dx), dx
+    )
+
+
 def rad_div_fluxes(fluxes: dict, dx: Sequence[float]) -> jnp.ndarray:
     """div contribution: sum_d (F_d(f) - F_d(f+1)) / dx_d on padded cells.
     fluxes[d] is [G, 4, X, Y, Z]; face axis for spatial dim d is d+2."""
