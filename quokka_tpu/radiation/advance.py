@@ -86,13 +86,17 @@ class RadiationAdvance:
         # optional optical-depth wavespeed correction); when no user BC hook
         # needs the full state, fill just the rad components (the fill is
         # ~27% of a substep at 256^3)
-        from ..registry import BC_USER
+        from ..registry import BC_PERIODIC, BC_USER
         from ..boundaries import fill_ghosts
         from ..indices import StateLayout
 
         has_user_bc = any(
             BC_USER in problem.bcs.axis(d) for d in range(3)
         )
+        all_periodic = all(
+            bc == BC_PERIODIC for d in range(3) for bc in problem.bcs.axis(d)
+        )
+        ng_t = ng  # ghost widths of the transport arrays
         if sim.decomp is not None:
             # multi-chip: halo-exchange the radiation slice over the mesh
             from ..parallel.halo import make_sharded_fill
@@ -113,6 +117,14 @@ class RadiationAdvance:
             )
             fill_for_transport = lambda U: sharded_fill_r(U[rad_start:])
             rad_start_eff = 0
+        elif all_periodic and not has_user_bc and not opts.use_wavespeed_correction:
+            # fully periodic single-chip domain: every transport stencil is a
+            # roll along the sweep axis, and a roll's wrap IS the periodic
+            # boundary condition -- run on the unpadded radiation slice with
+            # no ghost fill at all (the fill was ~20% of a substep at 256^3)
+            fill_for_transport = lambda U: U[rad_start:]
+            rad_start_eff = 0
+            ng_t = (0, 0, 0)
         elif has_user_bc or opts.use_wavespeed_correction:
             fill_for_transport = sim._fill
             rad_start_eff = rad_start
@@ -182,7 +194,7 @@ class RadiationAdvance:
 
             # stage 1: forward-Euler transport
             Ug0 = fill_for_transport(U)
-            divF0 = interior(rad_transport_div(Ug0, rad_start_eff, opts, active, dx), ng)
+            divF0 = interior(rad_transport_div(Ug0, rad_start_eff, opts, active, dx), ng_t)
             R0 = rad_part(U)
             R1 = predict_step(R0, divF0, dt, opts)
             U1 = with_rad(U, R1)
@@ -192,7 +204,7 @@ class RadiationAdvance:
 
             # stage 2: midpoint RK2 transport from the source-updated state
             Ug1 = fill_for_transport(U1)
-            divF1 = interior(rad_transport_div(Ug1, rad_start_eff, opts, active, dx), ng)
+            divF1 = interior(rad_transport_div(Ug1, rad_start_eff, opts, active, dx), ng_t)
             R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
             U2 = with_rad(U1, R_new)
 
