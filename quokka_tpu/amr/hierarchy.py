@@ -73,6 +73,7 @@ class AMRSimulation(Simulation):
         self.finest_level = 0
 
         self._level_step_jits: Dict[int, Callable] = {}
+        self._level_rad: Dict[int, object] = {}
 
     # ------------------------------------------------------------------ setup
     def set_initial_conditions(self):
@@ -86,16 +87,30 @@ class AMRSimulation(Simulation):
         self.init_sums = np.asarray(self._composite_sums())
 
     # --------------------------------------------------------- jitted kernels
+    @property
+    def _hydro_layout(self):
+        """Layout of the hydro block alone (the hydro advance never sees the
+        radiation components, mirroring the unigrid driver)."""
+        if not self.layout.radiation_enabled:
+            return self.layout
+        from ..indices import StateLayout
+
+        return StateLayout(
+            hydro_enabled=True, radiation_enabled=False,
+            n_scalars=self.layout.n_scalars,
+            n_mscalars=self.layout.n_mscalars,
+        )
+
     def _fill_level0(self, U):
         return fill_ghosts(
-            U, self.ng, self.problem.bcs, self.layout,
+            U, self.ng, self.problem.bcs, self._hydro_layout,
             problem=self.problem, grid=self.grid,
         )
 
     def _fill_fine(self, U, mask, Uc_interp, l):
         base = jnp.where(mask[None], U, ops.prolong(Uc_interp, self.grid.active_axes))
         return fill_ghosts(
-            base, self.ng, self.problem.bcs, self.layout,
+            base, self.ng, self.problem.bcs, self._hydro_layout,
             problem=self.problem, grid=self.level_grids[l],
         )
 
@@ -110,12 +125,16 @@ class AMRSimulation(Simulation):
         periodic = self.periodic
         active = self.grid.active_axes
 
+        nh = self.layout.nvar_hydro
+
         if l == 0:
             def step(U, dt):
-                U_new, stats = hydro_advance.advance_hydro_rk2(
-                    U, dt, opts, self._fill_level0, ng, periodic,
+                Uh_new, stats = hydro_advance.advance_hydro_rk2(
+                    U[:nh], dt, opts, self._fill_level0, ng, periodic,
                     return_fluxes=True,
                 )
+                U_new = (jnp.concatenate([Uh_new, U[nh:]], axis=0)
+                         if nh < U.shape[0] else Uh_new)
                 fluxes = stats.pop("fluxes")
                 smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
                 return U_new, fluxes, {"max_signal": smax, **stats}
@@ -123,16 +142,18 @@ class AMRSimulation(Simulation):
             def step(U, mask, Uc_old, Uc_new, theta1, theta2, dt):
                 def fill1(Uf):
                     Uc = (1.0 - theta1) * Uc_old + theta1 * Uc_new
-                    return self._fill_fine(Uf, mask, Uc, l)
+                    return self._fill_fine(Uf, mask, Uc[:nh], l)
 
                 def fill2(Uf):
                     Uc = (1.0 - theta2) * Uc_old + theta2 * Uc_new
-                    return self._fill_fine(Uf, mask, Uc, l)
+                    return self._fill_fine(Uf, mask, Uc[:nh], l)
 
-                U_new, stats = hydro_advance.advance_hydro_rk2(
-                    U, dt, opts, fill1, ng, periodic,
+                Uh_new, stats = hydro_advance.advance_hydro_rk2(
+                    U[:nh], dt, opts, fill1, ng, periodic,
                     fill_fn2=fill2, return_fluxes=True,
                 )
+                U_new = (jnp.concatenate([Uh_new, U[nh:]], axis=0)
+                         if nh < U.shape[0] else Uh_new)
                 fluxes = stats.pop("fluxes")
                 # inactive cells are defined to carry prolonged coarse data;
                 # re-impose it at the substep's end time so evolved garbage
@@ -156,6 +177,13 @@ class AMRSimulation(Simulation):
         self._level_step_jits[l] = jitted
         return jitted
 
+    def _get_level_rad(self, l: int):
+        if l not in self._level_rad:
+            from ..radiation.advance import LevelRadiation
+
+            self._level_rad[l] = LevelRadiation(self, l, self.level_grids[l])
+        return self._level_rad[l]
+
     # ---------------------------------------------------------------- reflux
     def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float):
         """Apply the coarse-fine flux mismatch to uncovered coarse cells
@@ -178,6 +206,14 @@ class AMRSimulation(Simulation):
         from ..stencil import interior
 
         corr_int = interior(correction, self.ng)
+        if corr_int.shape[0] < U.shape[0]:
+            # flux register covers only the leading components (e.g. hydro
+            # without a radiation register): zero correction for the rest
+            pad = jnp.zeros(
+                (U.shape[0] - corr_int.shape[0], *corr_int.shape[1:]),
+                corr_int.dtype,
+            )
+            corr_int = jnp.concatenate([corr_int, pad], axis=0)
         # apply only to uncovered coarse cells (covered ones get averaged down)
         U = U + jnp.where(cmask[None], 0.0, corr_int)
         self.level_U[l] = U
@@ -240,10 +276,15 @@ class AMRSimulation(Simulation):
         dt0 = np.inf
         for l in range(self.finest_level + 1):
             opts = self.level_opts[l]
-            sig = euler.max_signal_speed(self.level_U[l], opts.eos)
+            sig = euler.max_signal_speed(self.level_U[l][: self.layout.nvar_hydro], opts.eos)
             if l > 0:
                 sig = jnp.where(self.level_mask[l], sig, 0.0)
             smax = float(jnp.max(sig))
+            if self.layout.radiation_enabled and self._radiation is not None:
+                # cap dt so the per-level radiation subcycle count stays
+                # within max_substeps (reference computeNumberOfRadiationSubsteps)
+                max_sub = self._radiation.opts.max_substeps
+                smax = max(smax, self.problem.rad.c_hat / max_sub)
             if smax > 0:
                 dt_l = self.cfl * self.level_grids[l].dx_min / smax
                 dt0 = min(dt0, (2**l) * dt_l)
@@ -311,6 +352,37 @@ class AMRSimulation(Simulation):
                 jnp.asarray(theta1, U_old.dtype), jnp.asarray(theta2, U_old.dtype),
                 dt_l,
             )
+
+        # radiation subcycle at this level (reference order: hydro then
+        # radiation at each level, QuokkaSimulation::advanceSingleTimestepAtLevel)
+        if self.layout.radiation_enabled and self._radiation is not None:
+            radL = self._get_level_rad(l)
+            if l == 0:
+                U_new, rad_flux = radL.subcycle(U_new, t_level, dt_l)
+            else:
+                U_new, rad_flux = radL.subcycle(
+                    U_new, t_level, dt_l, mask=self.level_mask[l],
+                    Uc_old=self._parent_U_old, Uc_new=self._parent_U_new,
+                    theta_bounds=(theta1, theta2),
+                )
+                # inactive cells are defined to carry prolonged coarse data;
+                # re-impose it after the radiation advance as well
+                Uc_end = (1.0 - theta2) * self._parent_U_old + theta2 * self._parent_U_new
+                U_new = jnp.where(
+                    self.level_mask[l][None], U_new,
+                    ops.prolong(Uc_end, self.grid.active_axes),
+                )
+                rad_flux = {
+                    d: ops.restrict_face_flux(
+                        F, d, self.grid.active_axes, self.ng, self.ng
+                    )
+                    for d, F in rad_flux.items()
+                }
+            # radiation components join the flux register like hydro ones
+            fluxes = {
+                d: jnp.concatenate([fluxes[d], rad_flux[d]], axis=0)
+                for d in fluxes
+            }
         self.level_U[l] = U_new
         self.level_steps[l] += 1
         self.cell_updates += self.level_grids[l].num_cells

@@ -39,6 +39,19 @@ class RadhydroBenchProblem(Problem):
     def compute_planck_opacity(self, rho, T):
         return jnp.full_like(rho, KAPPA0)
 
+    def error_est(self, sim, level):
+        # relative radiation-energy gradient tagging (the reference's AMR
+        # radhydro setups tag on gradients the same way)
+        from ..stencil import sh
+
+        layout = self.physics.layout()
+        E = sim.level_U[level][layout.rad_index(0, 0)]
+        tags = jnp.zeros(E.shape, bool)
+        for d in sim.level_grids[level].active_axes:
+            grad = jnp.abs(sh(E, 1, d) - sh(E, -1, d)) / (2.0 * jnp.abs(E) + 1e-30)
+            tags = tags | (grad > 0.1)
+        return tags
+
     def set_initial_conditions(self, grid):
         x, y, z = grid.cell_center_mesh()
         shape = grid.n_cell

@@ -277,3 +277,183 @@ class RadiationAdvance:
     def run_steps(self, U, t0: float, dt: float, n: int):
         """Run `n` radiation substeps of size `dt` on-device (lax.scan)."""
         return self._run_steps_jit(U, t0, dt, n)
+
+class LevelRadiation:
+    """Radiation subcycling for one AMR level (dense full-domain levels).
+
+    TPU-native analog of the reference's per-level radiation advance
+    (`QuokkaSimulation::subcycleRadiationAtLevel` called from
+    `advanceSingleTimestepAtLevel`, reference ``src/QuokkaSimulation.hpp:
+    1577-1650``). Unlike the unigrid fast path this keeps the flux-dict
+    transport formulation so the RK2 time-averaged face fluxes can feed the
+    parent's flux register: radiation components reflux exactly like hydro
+    ones (the reference registers `ncompHyperbolic_` radiation components in
+    its YAFluxRegister). Fine-level ghost fills interpolate the parent state
+    in space (lincc prolongation) and time (theta lerp), the dense-level
+    equivalent of the reference's FillPatcher.
+    """
+
+    def __init__(self, sim, level: int, grid):
+        import dataclasses
+
+        self.sim = sim
+        self.level = level
+        self.grid = grid
+        base = sim._radiation.opts if getattr(sim, "_radiation", None) else None
+        if base is None:
+            raise RuntimeError("LevelRadiation requires the base RadiationAdvance")
+        # flux-dict (XLA) formulation: refluxing needs the face fluxes
+        self.opts = dataclasses.replace(base, use_pallas=False)
+        self.rad_start = sim.layout.rad_start
+        self._build()
+
+    def _build(self):
+        from ..amr import operators as amr_ops
+        from ..boundaries import fill_ghosts
+        from .multigroup import add_source_terms_multi_group
+        from .system import compute_rad_fluxes, rad_div_fluxes
+
+        sim = self.sim
+        opts = self.opts
+        grid = self.grid
+        rad_start = self.rad_start
+        ng = sim.ng
+        dx = grid.dx
+        active = grid.active_axes
+        eos = sim.eos
+        problem = sim.problem
+        G = opts.n_groups
+        layout = sim.layout
+        kappa_p = problem.compute_planck_opacity
+        kappa_e = problem.compute_energy_mean_opacity
+        kappa_f = problem.compute_flux_mean_opacity
+        multigroup = G > 1
+        boundaries = tuple(problem.rad.group_edges) if problem.rad.group_edges \
+            else (0.0, float("inf"))
+        kB = problem.eos_traits.boltzmann_constant
+
+        def rad_part(U):
+            return U[rad_start:].reshape(G, 4, *U.shape[1:])
+
+        def with_rad(U, R):
+            return U.at[rad_start:].set(R.reshape(G * 4, *U.shape[1:]))
+
+        def source_update(U, rad_src, dt, stage):
+            if multigroup:
+                return add_source_terms_multi_group(
+                    U, rad_src, dt, stage, opts, eos, problem, rad_start,
+                    boundaries, kB,
+                )
+            return add_source_terms_single_group(
+                U, rad_src, dt, stage, opts, eos, kappa_p, kappa_e, kappa_f,
+                rad_start,
+            )
+
+        def substep_core(U, fill, time, dt):
+            dt = jnp.asarray(dt, U.dtype)
+            time = jnp.asarray(time, U.dtype)
+            rad_src = jnp.asarray(
+                problem.set_radiation_energy_source(grid, time), U.dtype
+            )
+            if multigroup and rad_src.ndim == 3:
+                rad_src = jnp.broadcast_to(rad_src[None], (G, *rad_src.shape)) / G
+
+            Ug0 = fill(U)
+            fluxes0 = compute_rad_fluxes(Ug0, rad_start, opts, active, dx)
+            divF0 = interior(rad_div_fluxes(fluxes0, dx), ng)
+            R0 = rad_part(U)
+            R1 = predict_step(R0, divF0, dt, opts)
+            U1 = with_rad(U, R1)
+            U1, _ = source_update(U1, rad_src, dt, 1)
+
+            Ug1 = fill(U1)
+            fluxes1 = compute_rad_fluxes(Ug1, rad_start, opts, active, dx)
+            divF1 = interior(rad_div_fluxes(fluxes1, dx), ng)
+            R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
+            U2 = with_rad(U1, R_new)
+            U2, _ = source_update(U2, rad_src, dt, 2)
+
+            # effective transport flux through the substep: the PD-ARS combine
+            # is algebraically U0 + dt (0.5 divF0 + 0.5 divF1) + local terms
+            eff = {
+                d: (0.5 * (fluxes0[d] + fluxes1[d])).reshape(
+                    4 * G, *fluxes0[d].shape[2:]
+                )
+                for d in fluxes0
+            }
+            return U2, eff
+
+        if self.level == 0:
+            def fill0(U):
+                return fill_ghosts(
+                    U, ng, problem.bcs, layout, problem=problem, grid=grid
+                )
+
+            def substep0(U, time, dt):
+                return substep_core(U, fill0, time, dt)
+
+            self._substep = jax.jit(substep0)
+        else:
+            def substepf(U, time, dt, mask, Uc_old, Uc_new, th_a, th_b):
+                def make_fill(theta):
+                    def fillf(Uf):
+                        Uc = (1.0 - theta) * Uc_old + theta * Uc_new
+                        base = jnp.where(
+                            mask[None], Uf, amr_ops.prolong(Uc, active)
+                        )
+                        return fill_ghosts(
+                            base, ng, problem.bcs, layout,
+                            problem=problem, grid=grid,
+                        )
+                    return fillf
+
+                # stage-1 fill at the substep start time, stage-2 at its end
+                dt_c = jnp.asarray(dt, U.dtype)
+                fills = [make_fill(th_a), make_fill(th_b)]
+                state = {"i": 0}
+
+                def fill_dispatch(Uf):
+                    f = fills[min(state["i"], 1)]
+                    state["i"] += 1
+                    return f(Uf)
+
+                return substep_core(U, fill_dispatch, time, dt_c)
+
+            self._substep = jax.jit(substepf)
+
+    def n_substeps(self, dt_level: float) -> int:
+        sim = self.sim
+        if not sim.layout.hydro_enabled or sim.constant_dt > 0.0:
+            return 1
+        dt_rad = self.opts.cfl * self.grid.dx_min / self.opts.chat
+        n = max(1, int(math.ceil(dt_level / dt_rad)))
+        if n > self.opts.max_substeps + 1:
+            raise RuntimeError(
+                f"radiation substeps {n} exceeds max_substeps={self.opts.max_substeps}"
+            )
+        return n
+
+    def subcycle(self, U, time: float, dt_level: float, mask=None,
+                 Uc_old=None, Uc_new=None, theta_bounds=None):
+        """Advance the level's radiation by dt_level; returns
+        (U, time-averaged transport flux dict [4G, padded])."""
+        nsub = self.n_substeps(dt_level)
+        dt_r = dt_level / nsub
+        flux_sum = None
+        for i in range(nsub):
+            t_i = time + i * dt_r
+            if self.level == 0:
+                U, eff = self._substep(U, t_i, dt_r)
+            else:
+                th0, th1 = theta_bounds
+                th_a = th0 + (th1 - th0) * (i / nsub)
+                th_b = th0 + (th1 - th0) * ((i + 1) / nsub)
+                U, eff = self._substep(
+                    U, t_i, dt_r, mask, Uc_old, Uc_new,
+                    jnp.asarray(th_a, U.dtype), jnp.asarray(th_b, U.dtype),
+                )
+            if flux_sum is None:
+                flux_sum = {d: F / nsub for d, F in eff.items()}
+            else:
+                flux_sum = {d: flux_sum[d] + eff[d] / nsub for d in eff}
+        return U, flux_sum

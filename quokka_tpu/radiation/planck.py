@@ -1,4 +1,4 @@
-"""Planck integral: photon-group energy fractions.
+r"""Planck integral: photon-group energy fractions.
 
 TPU-native rebuild of the reference's tabulated Planck integral
 (``src/radiation/planck_integral.hpp:14-40``): the normalized integral
