@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     kelvin_helmholtz,
     leblanc,
     rad_matter_coupling,
+    rad_multigroup,
     rad_pulse,
     rad_streaming,
     radhydro_bench,

@@ -28,6 +28,17 @@ from .source_terms import add_source_terms_single_group
 from .system import RadOptions, add_fluxes_rk2, predict_step, rad_transport_div
 
 
+_OPACITY_MODELS = ("piecewise_constant", "ppl_fixed_slope", "ppl_full_spectrum")
+
+
+def _check_opacity_model(name: str) -> str:
+    if name not in _OPACITY_MODELS:
+        raise ValueError(
+            f"radiation.opacity_model = '{name}' is not one of {_OPACITY_MODELS}"
+        )
+    return name
+
+
 class RadiationAdvance:
     """Per-simulation radiation subsystem (built lazily when
     `Physics_Traits.radiation_enabled`)."""
@@ -50,6 +61,9 @@ class RadiationAdvance:
             max_substeps=pp.get_int("radiation.max_substeps", 10),
             include_work_term=bool(pp.get_int("radiation.include_work_term", 1)),
             n_groups=problem.physics.n_groups,
+            opacity_model=_check_opacity_model(
+                pp.get_str("radiation.opacity_model", "piecewise_constant")
+            ),
             use_pallas=bool(
                 pp.get_int(
                     "radiation.use_pallas",

@@ -70,9 +70,65 @@ def add_source_terms_multi_group(
         B = opts.arad * T**4 * fr
         return jnp.maximum(B, opts.erad_floor / G)
 
-    def kappa_groups(T):
-        """Piecewise-constant per-group opacities from the problem hook."""
-        return problem.compute_group_opacities(boundaries, rho, T)  # [G, ...]
+    # ---- opacity model (reference ComputeModelDependentKappaEAndKappaP /
+    # ComputeModelDependentKappaFAndDeltaTerms, source_terms_multi_group.hpp)
+    opacity_model = opts.opacity_model
+    ppl = opacity_model in ("ppl_fixed_slope", "ppl_full_spectrum")
+    if ppl:
+        from .opacity import (
+            boundary_ratios,
+            diffusion_flux_mean_opacity,
+            edge_delta_terms,
+            group_mean_opacity,
+            rad_quantity_exponents,
+        )
+
+        energy_unit = getattr(problem.rad, "energy_unit", 1.0)
+        _r = boundary_ratios(boundaries)
+        ratios_b = jnp.asarray(_r).reshape((G,) + (1,) * len(spatial))
+
+        def expo_lower(T):
+            return problem.define_opacity_exponents_and_lower_values(
+                boundaries, rho, T
+            )
+
+    # alpha freeze: the full-spectrum model re-estimates the spectral
+    # exponents only during the first iterations (reference
+    # max_iter_to_update_alpha_E = 5)
+    MAX_ALPHA_UPDATE_ITER = 5
+
+    def opacity_PE(T, Erad_g, B_g, alpha_E_prev, alpha_P_prev, n):
+        """(kappaP, kappaE, kappaPoverE, alpha_E, alpha_P) at temperature T."""
+        if opacity_model == "piecewise_constant":
+            kP = problem.compute_group_opacities(boundaries, rho, T)
+            return kP, kP, jnp.ones_like(kP), alpha_E_prev, alpha_P_prev
+        alpha_k, k_lower = expo_lower(T)
+        if opacity_model == "ppl_fixed_slope":
+            aq = jnp.full_like(B_g, -1.0)
+            kP = group_mean_opacity(alpha_k, k_lower, ratios_b, aq)
+            kE = kP
+            aE, aP = alpha_E_prev, alpha_P_prev
+        else:
+            aE = jnp.where(n < MAX_ALPHA_UPDATE_ITER,
+                           rad_quantity_exponents(Erad_g, boundaries), alpha_E_prev)
+            aP = jnp.where(n < MAX_ALPHA_UPDATE_ITER,
+                           rad_quantity_exponents(B_g, boundaries), alpha_P_prev)
+            kE = group_mean_opacity(alpha_k, k_lower, ratios_b, aE)
+            kP = group_mean_opacity(alpha_k, k_lower, ratios_b, aP)
+        kPoE = jnp.where(kE > 0.0, kP / jnp.where(kE > 0.0, kE, 1.0), 1.0)
+        return kP, kE, kPoE, aE, aP
+
+    def opacity_F(T, B_g, kP, kE):
+        """(kappaF, delta(nu kappa B) at edges, alpha_kappa) at temperature T."""
+        if opacity_model == "piecewise_constant":
+            return kP, jnp.zeros_like(B_g), jnp.zeros_like(B_g)
+        alpha_k, k_lower = expo_lower(T)
+        d_nkB, d_nB = edge_delta_terms(
+            boundaries, T, alpha_k, k_lower, boltzmann_constant, opts.arad,
+            energy_unit,
+        )
+        kF = diffusion_flux_mean_opacity(kP, kE, B_g, d_nkB, d_nB, alpha_k)
+        return kF, d_nkB, alpha_k
 
     include_work = opts.beta_order != 0 and opts.include_work_term
 
@@ -82,8 +138,9 @@ def add_source_terms_multi_group(
     def newton(work):
         T0 = eos.tgas_from_eint(rho, Egas0)
         B0 = fourPiB_groups(T0)
-        kP0 = kappa_groups(T0)
-        kPoE0 = jnp.ones_like(kP0)  # kappaE = kappaP for piecewise-constant
+        aE0 = jnp.zeros_like(B0)
+        aP0 = jnp.zeros_like(B0)
+        kP0, kE0, kPoE0, aE0, aP0 = opacity_PE(T0, Erad0, B0, aE0, aP0, jnp.int32(0))
         tau0 = dt * rho[None] * kP0 * chat
         Rvec = (B0 - Erad0 / kPoE0) * tau0 + work
 
@@ -92,7 +149,8 @@ def add_source_terms_multi_group(
             return jnp.logical_and(n < MAX_NEWTON_ITER, jnp.logical_not(jnp.all(done)))
 
         def body(carry):
-            n, done, Egas_g, Erad_g, R_g, T_g, B_g, kP, kPoE, tau = carry
+            (n, done, Egas_g, Erad_g, R_g, T_g, B_g, kP, kPoE, tau,
+             aE, aP) = carry
 
             F0 = Egas_g - Egas0 + cscale * jnp.sum(R_g, axis=0)
             Fg = Erad_g - Erad0 - (R_g + Src)
@@ -125,8 +183,9 @@ def add_source_terms_multi_group(
 
             T_new = eos.tgas_from_eint(rho, Egas_new)
             B_new = fourPiB_groups(T_new)
-            kP_new = kappa_groups(T_new)
-            kPoE_new = jnp.ones_like(kP_new)
+            kP_new, kE_new, kPoE_new, aE_new, aP_new = opacity_PE(
+                T_new, Erad_g, B_new, aE, aP, n + 1
+            )
             tau_new = dt * rho[None] * kP_new * chat
             Erad_new = jnp.where(
                 tau_new > 0.0,
@@ -137,21 +196,27 @@ def add_source_terms_multi_group(
             T_new = jnp.where(done_new, T_g, T_new)
             B_new = jnp.where(done_new[None], B_g, B_new)
             kP_new = jnp.where(done_new[None], kP, kP_new)
+            kPoE_new = jnp.where(done_new[None], kPoE, kPoE_new)
             tau_new = jnp.where(done_new[None], tau, tau_new)
 
             return (n + 1, done_new, Egas_new, Erad_new, R_new, T_new, B_new,
-                    kP_new, kPoE_new, tau_new)
+                    kP_new, kPoE_new, tau_new, aE_new, aP_new)
 
         done0 = jnp.zeros_like(rho, dtype=bool)
-        carry0 = (jnp.int32(0), done0, Egas0, Erad0, Rvec, T0, B0, kP0, kPoE0, tau0)
+        carry0 = (jnp.int32(0), done0, Egas0, Erad0, Rvec, T0, B0, kP0, kPoE0,
+                  tau0, aE0, aP0)
         out = lax.while_loop(cond, body, carry0)
-        _n, _done, Egas_g, Erad_g, R_g, T_g, B_g, kP, kPoE, tau = out
-        kF = kP  # piecewise-constant: kappaF = kappaP
-        return Egas_g, Erad_g, R_g, T_g, B_g, kP, kF, _n
+        (_n, _done, Egas_g, Erad_g, R_g, T_g, B_g, kP, kPoE, tau,
+         aE, aP) = out
+        kE = jnp.where(kPoE > 0.0, kP / jnp.where(kPoE > 0.0, kPoE, 1.0), kP)
+        kF, d_nkB, alpha_k = opacity_F(T_g, B_g, kP, kE)
+        return Egas_g, Erad_g, R_g, T_g, B_g, kP, kE, kF, d_nkB, alpha_k, _n
 
-    def flux_update(Egas_g, Erad_g, T_g, B_g, kP, kF):
+    def flux_update(Egas_g, Erad_g, T_g, B_g, kP, kE, kF, d_nkB, alpha_k):
         """Per-group implicit flux + momentum update (reference `UpdateFlux`,
-        piecewise-constant branch)."""
+        ``source_terms_multi_group.hpp:430-490``). For PPL models the
+        emission term subtracts the inter-group transport (1/3) d(nu kappa B)
+        and the pressure term carries the (1 + alpha_kappa) factor."""
         if opts.beta_order == 0 or eos.is_isothermal:
             denom = 1.0 + rho[None, None] * kF[:, None] * chat * dt
             Frad_t1 = Frad0 / denom
@@ -162,39 +227,56 @@ def add_source_terms_multi_group(
             for g in range(G):
                 Tedd = eddington_tensor(f[g, 0], f[g, 1], f[g, 2])
                 F_coeff = chat * rho * kF[g] * dt
+                emission = kP[g] * B_g[g]
+                if ppl:
+                    emission = emission - d_nkB[g] / 3.0
+                    press_k = (1.0 + alpha_k[g]) * kE[g]
+                else:
+                    press_k = kE[g]
                 comps = []
                 for n in range(3):
-                    planck_term = kP[g] * B_g[g] * chat * dt * mom0[n]
+                    planck_term = emission * chat * dt * mom0[n]
                     pressure_term = jnp.zeros_like(rho)
                     for z in range(3):
                         pressure_term = pressure_term + mom0[z] * Tedd[n][z] * erad[g]
-                    pressure_term = pressure_term * chat * dt * kP[g]
+                    pressure_term = pressure_term * chat * dt * press_k
                     comps.append((Frad0[g, n] + planck_term + pressure_term) / (1.0 + F_coeff))
                 Frad_list.append(jnp.stack(comps))
             Frad_t1 = jnp.stack(Frad_list)
         dMom = -jnp.sum(Frad_t1 - Frad0, axis=0) / (c * chat)
         return Frad_t1, dMom
 
+    def work_chi(kF, alpha_k):
+        """Opacity factor of the v.F work term: kappaF, with the
+        (1 + alpha_kappa) PPL spectral correction (reference
+        ``source_terms_multi_group.hpp:510-527``)."""
+        return (1.0 + alpha_k) * kF if ppl else kF
+
     if not include_work:
         work = jnp.zeros_like(Erad0)
-        Egas_g, Erad_g, R_g, T_g, B_g, kP, kF, n_it = newton(work)
-        Frad_t1, dMom = flux_update(Egas_g, Erad_g, T_g, B_g, kP, kF)
+        Egas_g, Erad_g, R_g, T_g, B_g, kP, kE, kF, d_nkB, alpha_k, n_it = newton(work)
+        Frad_t1, dMom = flux_update(Egas_g, Erad_g, T_g, B_g, kP, kE, kF, d_nkB, alpha_k)
     else:
         # initial work from the old state (first outer iteration)
         T_init = eos.tgas_from_eint(rho, Egas0)
-        kF0 = kappa_groups(T_init)
+        B_init = fourPiB_groups(T_init)
+        kP_i, kE_i, _kPoE_i, _aE, _aP = opacity_PE(
+            T_init, Erad0, B_init, jnp.zeros_like(B_init),
+            jnp.zeros_like(B_init), jnp.int32(0),
+        )
+        kF0, _d, alpha0 = opacity_F(T_init, B_init, kP_i, kE_i)
         vel_times_F = jnp.sum(mom0[None] * Frad0, axis=1)  # [G,...]
-        work = vel_times_F * kF0 * chat / (c * c) * dt
+        work = vel_times_F * work_chi(kF0, alpha0) * chat / (c * c) * dt
 
         def outer_cond(carry):
             ite, done, *_ = carry
             return jnp.logical_and(ite < MAX_OUTER_ITER, jnp.logical_not(jnp.all(done)))
 
         def outer_step(work_g):
-            Egas_g, Erad_g, R_g, T_g, B_g, kP, kF, _n = newton(work_g)
-            Frad_n, dMom_n = flux_update(Egas_g, Erad_g, T_g, B_g, kP, kF)
+            Egas_g, Erad_g, R_g, T_g, B_g, kP, kE, kF, d_nkB, alpha_k, _n = newton(work_g)
+            Frad_n, dMom_n = flux_update(Egas_g, Erad_g, T_g, B_g, kP, kE, kF, d_nkB, alpha_k)
             mom1 = mom0 + dMom_n
-            work_new = jnp.sum(mom1[None] * Frad_n, axis=1) * kF * chat / (c * c) * dt
+            work_new = jnp.sum(mom1[None] * Frad_n, axis=1) * work_chi(kF, alpha_k) * chat / (c * c) * dt
             return Egas_g, Erad_g, R_g, Frad_n, dMom_n, work_new
 
         def outer_body(carry):

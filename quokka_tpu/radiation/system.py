@@ -46,6 +46,10 @@ class RadOptions:
     include_work_term: bool = True
     n_groups: int = 1
     use_pallas: bool = False  # fused Pallas transport sweep (TPU hot path)
+    # multigroup opacity model (reference OpacityModel enum,
+    # radiation_system.hpp:63-68): piecewise_constant | ppl_fixed_slope |
+    # ppl_full_spectrum
+    opacity_model: str = "piecewise_constant"
 
 
 def eddington_factor(f: jnp.ndarray) -> jnp.ndarray:

@@ -173,6 +173,17 @@ class Problem:
         """User radiation energy source field (reference `SetRadEnergySource`)."""
         return jnp.zeros(grid.n_cell)
 
+    def define_opacity_exponents_and_lower_values(self, boundaries, rho, T):
+        """PPL opacity model: per-group power-law exponent alpha_g and
+        opacity at the group's lower edge kappa_g(nu_g), both [G, ...]
+        (reference `DefineOpacityExponentsAndLowerValues`,
+        ``src/radiation/radiation_system.hpp:280-282``). Default: flat
+        spectrum (alpha = 0) at the piecewise-constant group opacities."""
+        import jax.numpy as jnp
+
+        k = self.compute_group_opacities(boundaries, rho, T)
+        return jnp.zeros_like(k), k
+
     def compute_group_opacities(self, boundaries, rho, T):
         """Per-group opacities [G, ...] for multigroup problems (reference
         `DefineOpacityExponentsAndLowerValues` with the piecewise-constant

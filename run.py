@@ -7,6 +7,7 @@ named by its `problem` key, runs `evolve()`, and reports the elapsed-time /
 FOM summary. CLI overrides follow the deck path, AMReX-style.
 """
 
+import os
 import sys
 import time
 
@@ -15,6 +16,13 @@ def main(argv):
     if not argv:
         print("usage: python run.py <deck.in> [key=value ...]")
         return 2
+
+    if os.environ.get("QUOKKA_PLATFORM"):
+        # explicit backend override (e.g. QUOKKA_PLATFORM=cpu for debugging;
+        # the site config may pre-select a default platform at import time)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["QUOKKA_PLATFORM"])
 
     from quokka_tpu import ParmParse, Simulation
     from quokka_tpu import problems  # noqa: F401  (registers the catalog)
