@@ -8,10 +8,12 @@ from . import (  # noqa: F401
     advection,
     kelvin_helmholtz,
     leblanc,
+    rad_marshak,
     rad_matter_coupling,
     rad_multigroup,
     rad_pulse,
     rad_streaming,
+    rad_suolson,
     radhydro_bench,
     sedov,
     shocktube,
