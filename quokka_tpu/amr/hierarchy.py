@@ -280,13 +280,16 @@ class AMRSimulation(Simulation):
             if l > 0:
                 sig = jnp.where(self.level_mask[l], sig, 0.0)
             smax = float(jnp.max(sig))
-            if self.layout.radiation_enabled and self._radiation is not None:
-                # cap dt so the per-level radiation subcycle count stays
-                # within max_substeps (reference computeNumberOfRadiationSubsteps)
-                max_sub = self._radiation.opts.max_substeps
-                smax = max(smax, self.problem.rad.c_hat / max_sub)
             if smax > 0:
                 dt_l = self.cfl * self.level_grids[l].dx_min / smax
+                dt0 = min(dt0, (2**l) * dt_l)
+            if self.layout.radiation_enabled and self._radiation is not None:
+                # cap dt so the per-level radiation subcycle count stays
+                # within max_substeps, at the RADIATION cfl (reference
+                # computeNumberOfRadiationSubsteps)
+                ropts = self._radiation.opts
+                dt_l = (ropts.max_substeps * ropts.cfl
+                        * self.level_grids[l].dx_min / ropts.chat)
                 dt0 = min(dt0, (2**l) * dt_l)
         dt0 = min(dt0, 1.1 * self.dt_prev, self.max_dt)
         if self.t == 0.0:

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     advection,
     kelvin_helmholtz,
     leblanc,
+    rad_dust,
     rad_marshak,
     rad_matter_coupling,
     rad_multigroup,

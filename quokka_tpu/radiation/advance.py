@@ -73,6 +73,13 @@ class RadiationAdvance:
         )
         self.rad_start = sim.layout.rad_start
         self.boundaries = tuple(rt.group_edges) if rt.group_edges else (0.0, float("inf"))
+        # runtime override of the dust-gas interaction coefficient
+        # (reference key radiation.dust_gas_interaction_coeff)
+        coeff = pp.get_float("radiation.dust_gas_interaction_coeff", -1.0)
+        if coeff >= 0.0:
+            import dataclasses
+
+            problem.ism = dataclasses.replace(problem.ism, dust_gas_coeff=coeff)
         self._build()
 
     def _build(self):
@@ -171,7 +178,18 @@ class RadiationAdvance:
         boundaries = self.boundaries
         kB = problem.eos_traits.boltzmann_constant
 
+        dust_enabled = problem.ism.enable_dust_gas_thermal_coupling_model
+
         def source_update(U, rad_src, dt, stage):
+            if dust_enabled:
+                from .dust import add_source_terms_gas_dust
+
+                src = rad_src if rad_src.ndim == 4 else jnp.broadcast_to(
+                    rad_src[None], (G, *rad_src.shape))
+                return add_source_terms_gas_dust(
+                    U, src, dt, stage, opts, eos, problem, rad_start,
+                    boundaries, kB,
+                )
             if multigroup:
                 from .multigroup import add_source_terms_multi_group
 

@@ -38,40 +38,13 @@ MAX_OUTER_ITER = 5
 LAG_TOL = 1.0e-13
 
 
-def add_source_terms_multi_group(
-    U, rad_src, dt_radiation, stage, opts: RadOptions, eos, problem, rad_start,
-    boundaries, boltzmann_constant,
-):
-    """Multigroup analog of `add_source_terms_single_group`. `rad_src` is
-    [G, nx, ny, nz]; `boundaries` a (G+1)-tuple of group edges."""
+def make_opacity_model_fns(opts, problem, boundaries, rho, spatial,
+                           boltzmann_constant):
+    """(opacity_PE, opacity_F) closures for the configured opacity model
+    (reference ComputeModelDependentKappaEAndKappaP /
+    ComputeModelDependentKappaFAndDeltaTerms, source_terms_multi_group.hpp).
+    Shared by the multigroup and the gas-dust-radiation solvers."""
     G = opts.n_groups
-    c, chat = opts.c, opts.chat
-    cscale = c / chat
-    dt = dt_radiation if stage == 1 else (1.0 - IMEX_A32) * dt_radiation
-    gas_update_factor = IMEX_A32 if stage == 1 else 1.0
-
-    spatial = U.shape[1:]
-    R_state = U[rad_start:].reshape(G, 4, *spatial)
-    Erad0 = R_state[:, 0]  # [G, ...]
-    Frad0 = R_state[:, 1:4]  # [G, 3, ...]
-
-    rho = U[RHO]
-    mom0 = U[MX1:MX1 + 3]  # [3, ...]
-    Egastot0 = U[EGAS]
-    ke0 = 0.5 * jnp.sum(mom0 * mom0, axis=0) / rho
-    Egas0 = Egastot0 - ke0
-
-    Src = rad_src * dt * chat  # [G, ...]
-    Etot0 = Egas0 + cscale * (jnp.sum(Erad0 + Src, axis=0))
-
-    def fourPiB_groups(T):
-        fr = planck_energy_fractions(boundaries, T, boltzmann_constant,
-                                     getattr(problem.rad, "energy_unit", 1.0))
-        B = opts.arad * T**4 * fr
-        return jnp.maximum(B, opts.erad_floor / G)
-
-    # ---- opacity model (reference ComputeModelDependentKappaEAndKappaP /
-    # ComputeModelDependentKappaFAndDeltaTerms, source_terms_multi_group.hpp)
     opacity_model = opts.opacity_model
     ppl = opacity_model in ("ppl_fixed_slope", "ppl_full_spectrum")
     if ppl:
@@ -129,6 +102,47 @@ def add_source_terms_multi_group(
         )
         kF = diffusion_flux_mean_opacity(kP, kE, B_g, d_nkB, d_nB, alpha_k)
         return kF, d_nkB, alpha_k
+
+    return opacity_PE, opacity_F
+
+
+def add_source_terms_multi_group(
+    U, rad_src, dt_radiation, stage, opts: RadOptions, eos, problem, rad_start,
+    boundaries, boltzmann_constant,
+):
+    """Multigroup analog of `add_source_terms_single_group`. `rad_src` is
+    [G, nx, ny, nz]; `boundaries` a (G+1)-tuple of group edges."""
+    G = opts.n_groups
+    c, chat = opts.c, opts.chat
+    cscale = c / chat
+    dt = dt_radiation if stage == 1 else (1.0 - IMEX_A32) * dt_radiation
+    gas_update_factor = IMEX_A32 if stage == 1 else 1.0
+
+    spatial = U.shape[1:]
+    R_state = U[rad_start:].reshape(G, 4, *spatial)
+    Erad0 = R_state[:, 0]  # [G, ...]
+    Frad0 = R_state[:, 1:4]  # [G, 3, ...]
+
+    rho = U[RHO]
+    mom0 = U[MX1:MX1 + 3]  # [3, ...]
+    Egastot0 = U[EGAS]
+    ke0 = 0.5 * jnp.sum(mom0 * mom0, axis=0) / rho
+    Egas0 = Egastot0 - ke0
+
+    Src = rad_src * dt * chat  # [G, ...]
+    Etot0 = Egas0 + cscale * (jnp.sum(Erad0 + Src, axis=0))
+
+    def fourPiB_groups(T):
+        fr = planck_energy_fractions(boundaries, T, boltzmann_constant,
+                                     getattr(problem.rad, "energy_unit", 1.0))
+        B = opts.arad * T**4 * fr
+        return jnp.maximum(B, opts.erad_floor / G)
+
+    # ---- opacity model (shared closures)
+    ppl = opts.opacity_model in ("ppl_fixed_slope", "ppl_full_spectrum")
+    opacity_PE, opacity_F = make_opacity_model_fns(
+        opts, problem, boundaries, rho, spatial, boltzmann_constant
+    )
 
     include_work = opts.beta_order != 0 and opts.include_work_term
 

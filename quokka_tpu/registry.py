@@ -83,6 +83,23 @@ class RadTraits:
     group_edges: Tuple[float, ...] = ()  # photon energy group boundaries
 
 
+@dataclass(frozen=True)
+class ISMTraits:
+    """ISM physics switches (reference `ISM_Traits`,
+    ``src/radiation/radiation_system.hpp:86-90``): dust-gas thermal
+    coupling, photoelectric heating, and the coupling-strength threshold
+    below which gas and dust decouple."""
+
+    enable_dust_gas_thermal_coupling_model: bool = False
+    enable_photoelectric_heating: bool = False
+    gas_dust_coupling_threshold: float = 1.0e-6
+    # Lambda_gd = coeff * n_H^2 sqrt(T) (T - T_d); Bate & Keto (2015) eq. 18
+    dust_gas_coeff: float = 2.63e-34
+    # mass per hydrogen nucleus: n_H = rho / mean_molecular_mass
+    # (reference RadSystem_Traits::mean_molecular_mass)
+    mean_molecular_mass: float = 1.0
+
+
 # Boundary condition kinds per (axis, side); mirrors amrex::BCType used by the
 # reference (int_dir / foextrap / reflect / ext_dir).
 BC_PERIODIC = "periodic"
@@ -127,6 +144,7 @@ class Problem:
     eos_traits: EOSTraits = EOSTraits()
     hydro: HydroTraits = HydroTraits()
     rad: RadTraits = RadTraits()
+    ism: ISMTraits = ISMTraits()
     bcs: BCSpec = BCSpec()
 
     def make_eos(self):
@@ -172,6 +190,36 @@ class Problem:
     def set_radiation_energy_source(self, grid, time):
         """User radiation energy source field (reference `SetRadEnergySource`)."""
         return jnp.zeros(grid.n_cell)
+
+    # ---- ISM physics hooks (dust-gas-radiation coupling, reference
+    # ``src/radiation/radiation_dust_system.hpp``): per-group net line
+    # cooling, cosmic-ray heating, and photoelectric heating (all default
+    # to zero; the dust model is switched on by `ism` traits)
+    def define_net_cooling_rate(self, T, n_H):
+        """Net line cooling rate per group [G, ...] in erg cm^-3 s^-1
+        (reference `DefineNetCoolingRate`)."""
+        import jax.numpy as jnp
+
+        G = self.physics.n_groups
+        return jnp.zeros((G, *jnp.shape(T)))
+
+    def define_net_cooling_rate_temp_derivative(self, T, n_H):
+        import jax.numpy as jnp
+
+        G = self.physics.n_groups
+        return jnp.zeros((G, *jnp.shape(T)))
+
+    def define_cosmic_ray_heating_rate(self, n_H):
+        import jax.numpy as jnp
+
+        return jnp.zeros(jnp.shape(n_H))
+
+    def define_photoelectric_heating_E1_derivative(self, T, n_H):
+        """d(PE heating rate)/d(E_FUV) in s^-1; the FUV band is the LAST
+        photon group (reference `DefinePhotoelectricHeatingE1Derivative`)."""
+        import jax.numpy as jnp
+
+        return jnp.zeros(jnp.shape(T))
 
     def define_opacity_exponents_and_lower_values(self, boundaries, rho, T):
         """PPL opacity model: per-group power-law exponent alpha_g and

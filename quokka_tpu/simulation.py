@@ -341,12 +341,15 @@ class Simulation:
                 smax = self.problem.rad.c_hat
             else:
                 smax = float(self._max_signal_jit(self.U))
-                if self.layout.radiation_enabled:
-                    # radhydro: cap dt so the radiation subcycle count stays
-                    # within max_substeps (reference ``:424-434``)
-                    max_sub = self._radiation.opts.max_substeps if self._radiation else 10
-                    smax = max(smax, self.problem.rad.c_hat / max_sub)
             dt = self.cfl * self.grid.dx_min / smax
+            if self.layout.hydro_enabled and self.layout.radiation_enabled \
+                    and self._radiation is not None:
+                # radhydro: cap dt so the radiation subcycle count stays
+                # within max_substeps (reference ``:424-434``); the count is
+                # taken at the RADIATION cfl, so the cap must use it too
+                ropts = self._radiation.opts
+                dt = min(dt, ropts.max_substeps * ropts.cfl
+                         * self.grid.dx_min / ropts.chat)
             dt = min(dt, 1.1 * self.dt_prev)  # change_max limiter
             dt = min(dt, self.max_dt)
             if self.t == 0.0:
