@@ -6,6 +6,7 @@ the reference's ``src/problems/*`` applications.
 
 from . import (  # noqa: F401
     advection,
+    hydro_suite,
     kelvin_helmholtz,
     leblanc,
     rad_dust,
