@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     rad_streaming,
     rad_suolson,
     radhydro_bench,
+    radhydro_shock,
     sedov,
     shocktube,
 )
