@@ -17,6 +17,24 @@ import shutil
 import jax.numpy as jnp
 import numpy as np
 
+from . import native
+
+
+def _save_array(path_no_ext: str, arr):
+    """Write via the native async writer (overlaps device compute); falls
+    back to synchronous np.save. Readers probe both extensions."""
+    a = np.asarray(arr)
+    if native.write_array_async(path_no_ext + ".qka", a):
+        return
+    np.save(path_no_ext + ".npy", a)
+
+
+def _load_array(path_no_ext: str):
+    qka = path_no_ext + ".qka"
+    if os.path.exists(qka):
+        return native.read_array(qka)
+    return np.load(path_no_ext + ".npy")
+
 
 def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     name = f"{prefix}{sim.istep:07d}"
@@ -45,12 +63,12 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     with open(os.path.join(path, "Header"), "w") as f:
         json.dump(header, f, indent=1)
 
-    np.save(os.path.join(path, "Level_0", "state.npy"), np.asarray(sim.U))
+    _save_array(os.path.join(path, "Level_0", "state"), sim.U)
     for l in range(1, finest + 1):
         lvl_dir = os.path.join(path, f"Level_{l}")
         os.makedirs(lvl_dir, exist_ok=True)
-        np.save(os.path.join(lvl_dir, "state.npy"), np.asarray(sim.level_U[l]))
-        np.save(os.path.join(lvl_dir, "mask.npy"), np.asarray(sim.level_mask[l]))
+        _save_array(os.path.join(lvl_dir, "state"), sim.level_U[l])
+        _save_array(os.path.join(lvl_dir, "mask"), sim.level_mask[l])
 
     if sim.particles is not None:
         pdir = os.path.join(path, "Particles")
@@ -61,6 +79,11 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
             v=np.asarray(sim.particles.v),
             mass=np.asarray(sim.particles.mass),
         )
+
+    # the symlink must only ever point at a complete checkpoint: wait for
+    # the queued array writes (they still overlap each other and the
+    # host-transfer of subsequent arrays)
+    native.drain()
 
     # atomically update the last_chk symlink (reference src/simulation.hpp:2548-2562)
     link = os.path.join(directory, "last_chk")
@@ -77,7 +100,8 @@ def read_checkpoint(sim, path: str):
     `ReadCheckpointFile`, ``src/simulation.hpp:2676-2789``)."""
     with open(os.path.join(path, "Header")) as f:
         header = json.load(f)
-    U = np.load(os.path.join(path, "Level_0", "state.npy"))
+    native.drain()  # ensure in-flight checkpoint writes are on disk
+    U = _load_array(os.path.join(path, "Level_0", "state"))
     if tuple(header["n_cell"]) != tuple(sim.grid.n_cell):
         raise ValueError(
             f"checkpoint grid {header['n_cell']} != simulation grid {sim.grid.n_cell}"
@@ -99,9 +123,9 @@ def read_checkpoint(sim, path: str):
         for l in range(1, finest + 1):
             lvl_dir = os.path.join(path, f"Level_{l}")
             sim.level_U[l] = jnp.asarray(
-                np.load(os.path.join(lvl_dir, "state.npy")), dtype=sim.dtype
+                _load_array(os.path.join(lvl_dir, "state")), dtype=sim.dtype
             )
-            sim.level_mask[l] = jnp.asarray(np.load(os.path.join(lvl_dir, "mask.npy")))
+            sim.level_mask[l] = jnp.asarray(_load_array(os.path.join(lvl_dir, "mask")))
 
     pfile = os.path.join(path, "Particles", "cic.npz")
     if os.path.exists(pfile):
