@@ -86,6 +86,11 @@ class Simulation:
             h, m, s = (int(p) for p in wt.split(":"))
             self.max_walltime = 3600 * h + 60 * m + s
         self.verbose = self.pp.get_int("verbose", 1)
+        # debug.check_states: validate the state after every step and fail
+        # loudly with the first offending cell (the reference's
+        # CHECK_HYDRO_STATES / AMREX_ASSERT debug build, checked in
+        # computeTimestep; here a runtime switch)
+        self.check_states = bool(self.pp.get_int("debug.check_states", 0))
         self.metadata = {}
 
         hpp = self.pp
@@ -401,6 +406,25 @@ class Simulation:
                 )
         return False
 
+    def _check_states_valid(self):
+        """Fail with the first invalid cell (NaN/Inf anywhere, non-positive
+        density or internal energy in the hydro block)."""
+        import numpy as np
+
+        U = np.asarray(self.U)
+        bad = ~np.isfinite(U)
+        if self.layout.hydro_enabled:
+            bad[0] |= U[0] <= 0.0
+            bad[5] |= U[5] <= 0.0
+        if bad.any():
+            comp, i, j, k = (int(ix[0]) for ix in np.where(bad))
+            x = self.grid.prob_lo[0] + (i + 0.5) * self.grid.dx[0]
+            raise FloatingPointError(
+                f"invalid state at step {self.istep}: component {comp} at "
+                f"cell ({i},{j},{k}) (x = {x:.6g}) has value "
+                f"{U[comp, i, j, k]!r} (debug.check_states = 1)"
+            )
+
     def evolve(self):
         if self.U is None:
             self.set_initial_conditions()
@@ -427,6 +451,9 @@ class Simulation:
 
             if self.gravity_enabled:
                 self._gravity_after_step(dt)
+
+            if self.check_states:
+                self._check_states_valid()
 
             if self.tracers is not None:
                 self._advect_tracers(dt)
