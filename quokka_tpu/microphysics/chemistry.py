@@ -119,3 +119,188 @@ def renormalize_species(y: jnp.ndarray, n_total, charge: Sequence[float]):
     y = y.at[..., 0].multiply(scale).at[..., 1].multiply(scale)
     ne = sum(float(c) * y[..., i] for i, c in enumerate(charge) if c > 0)
     return y.at[..., -1].set(ne)
+
+
+# ------------------------------------------------- full primordial network
+@dataclass(frozen=True)
+class PrimordialNetwork:
+    """12-species primordial chemistry network:
+
+        e-, H, H+, H-, H2, H2+, D, D+, HD, He, He+, He++
+
+    the species set of the reference's Microphysics ``primordial_chem``
+    network (``src/problems/PrimordialChem``; reference burns it with VODE,
+    here with the batched backward-Euler Newton). Gas-phase rate fits from
+    the standard primordial-chemistry literature:
+
+      - H/He collisional ionization: Janev et al. polynomials as compiled
+        by Abel, Anninos, Zhang & Norman (1997)
+      - recombination: Hui & Gnedin (1998) case B for H+; Cen (1992)
+        radiative + dielectronic for He+; hydrogenic for He++
+      - H2 formation/destruction via the H-/H2+ channels: Galli & Palla
+        (1998) compilation
+      - deuterium charge exchange: Savin (2002); HD chemistry: Galli &
+        Palla (1998)
+
+    State: number densities [cm^-3], ordered as `species`.
+    """
+
+    species = ("e", "H", "Hp", "Hm", "H2", "H2p", "D", "Dp", "HD",
+               "He", "Hep", "Hepp")
+    charges = (-1.0, 0.0, 1.0, -1.0, 0.0, 1.0, 0.0, 1.0, 0.0,
+               0.0, 1.0, 2.0)
+    # atomic masses [amu] (electron mass neglected in the heavies)
+    masses = (5.4858e-4, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 3.0,
+              4.0, 4.0, 4.0)
+
+    n_species: int = 12
+
+    # ---- rate coefficients [cm^3/s]; T in K
+    @staticmethod
+    def _janev(lnTe, coeffs):
+        acc = jnp.zeros_like(lnTe)
+        for c in reversed(coeffs):
+            acc = acc * lnTe + c
+        return jnp.exp(acc)
+
+    @classmethod
+    def rates(cls, T):
+        T = jnp.maximum(T, 2.73)
+        Te = T * 8.617333262e-5  # eV
+        lnTe = jnp.log(jnp.maximum(Te, 1e-10))
+        lam = 2.0 * 157807.0 / T
+
+        k = {}
+        # H + e -> H+ + 2e  (AAZN97 k1, Janev)
+        k["H_ion"] = cls._janev(lnTe, (
+            -32.71396786, 13.53655609, -5.73932875, 1.56315498,
+            -0.28770560, 3.48255977e-2, -2.63197617e-3, 1.11954395e-4,
+            -2.03914985e-6))
+        # H+ + e -> H (case B, Hui & Gnedin 1998)
+        k["H_rec"] = (2.753e-14 * lam**1.5
+                      / (1.0 + (lam / 2.740)**0.407)**2.242)
+        # He + e -> He+ + 2e (AAZN97 k3)
+        k["He_ion"] = cls._janev(lnTe, (
+            -44.09864886, 23.91596563, -10.75323020, 3.05803875,
+            -0.56851189, 6.79539123e-2, -5.00905610e-3, 2.06723616e-4,
+            -3.64916141e-6))
+        # He+ + e -> He (Cen 1992: radiative + dielectronic)
+        k["He_rec"] = (1.5e-10 * T**-0.6353
+                       + 1.9e-3 * T**-1.5 * jnp.exp(-470000.0 / T)
+                       * (1.0 + 0.3 * jnp.exp(-94000.0 / T)))
+        # He+ + e -> He++ + 2e (AAZN97 k5)
+        k["Hep_ion"] = cls._janev(lnTe, (
+            -68.71040990, 43.93347633, -18.48066993, 4.70162649,
+            -0.76924663, 8.11304200e-2, -5.32402063e-3, 1.97570531e-4,
+            -3.16558106e-6))
+        # He++ + e -> He+ (hydrogenic, Cen 1992)
+        k["Hepp_rec"] = (3.36e-10 / jnp.sqrt(T) * (T / 1.0e3)**-0.2
+                         / (1.0 + (T / 1.0e6)**0.7))
+        # H + e -> H- (Galli & Palla 1998)
+        k["Hm_form"] = 1.4e-18 * T**0.928 * jnp.exp(-T / 16200.0)
+        # H- + H -> H2 + e (associative detachment, GP98)
+        k["H2_Hm"] = jnp.full_like(T, 1.3e-9)
+        # H + H+ -> H2+ (GP98 log-polynomial)
+        logT = jnp.log10(T)
+        k["H2p_form"] = 10.0**(-19.38 - 1.523 * logT + 1.118 * logT**2
+                               - 0.1269 * logT**3)
+        # H2+ + H -> H2 + H+
+        k["H2_H2p"] = jnp.full_like(T, 6.4e-10)
+        # H2 + H+ -> H2+ + H (GP98)
+        k["H2_cx"] = 3.0e-10 * jnp.exp(-21050.0 / T)
+        # H2 + e -> 2H + e (GP98)
+        k["H2_de"] = 4.4e-10 * T**0.35 * jnp.exp(-102000.0 / T)
+        # H2 + H -> 3H (AAZN97 k13, Lepp & Shull)
+        k["H2_dH"] = (1.067e-10 * Te**2.012 * jnp.exp(-4.463 / Te)
+                      / (1.0 + 0.2472 * Te)**3.512)
+        # H- + H+ -> 2H (mutual neutralization)
+        k["Hm_mn"] = 7.0e-7 / jnp.sqrt(T)
+        # H2+ + e -> 2H (dissociative recombination)
+        k["H2p_dr"] = 2.0e-7 / jnp.sqrt(T)
+        # D+ + H -> D + H+ (Savin 2002)
+        k["Dp_cx"] = 2.06e-10 * T**0.396 * jnp.exp(-33.0 / T) + 2.03e-9 * T**-0.332
+        # D + H+ -> D+ + H (Savin 2002)
+        k["D_cx"] = jnp.maximum(
+            2.0e-10 * T**0.402 * jnp.exp(-37.1 / T) - 3.31e-17 * T**1.48, 0.0)
+        # D+ + e -> D (same as H case B)
+        k["D_rec"] = k["H_rec"]
+        # D+ + H2 -> HD + H+ (GP98)
+        k["HD_form"] = jnp.full_like(T, 2.1e-9)
+        # HD + H+ -> D+ + H2 (GP98)
+        k["HD_dest"] = 1.0e-9 * jnp.exp(-464.0 / T)
+        # D + H2 -> HD + H (GP98)
+        k["HD_formn"] = 9.0e-11 * jnp.exp(-3876.0 / T)
+        # HD + H -> D + H2 (GP98)
+        k["HD_destn"] = 3.2e-11 * jnp.exp(-3624.0 / T)
+        return k
+
+    def rhs(self, y, T):
+        (ne, nH, nHp, nHm, nH2, nH2p, nD, nDp, nHD,
+         nHe, nHep, nHepp) = [y[i] for i in range(12)]
+        k = self.rates(T)
+
+        r = {}
+        r["H_ion"] = k["H_ion"] * nH * ne
+        r["H_rec"] = k["H_rec"] * nHp * ne
+        r["He_ion"] = k["He_ion"] * nHe * ne
+        r["He_rec"] = k["He_rec"] * nHep * ne
+        r["Hep_ion"] = k["Hep_ion"] * nHep * ne
+        r["Hepp_rec"] = k["Hepp_rec"] * nHepp * ne
+        r["Hm_form"] = k["Hm_form"] * nH * ne
+        r["H2_Hm"] = k["H2_Hm"] * nHm * nH
+        r["H2p_form"] = k["H2p_form"] * nH * nHp
+        r["H2_H2p"] = k["H2_H2p"] * nH2p * nH
+        r["H2_cx"] = k["H2_cx"] * nH2 * nHp
+        r["H2_de"] = k["H2_de"] * nH2 * ne
+        r["H2_dH"] = k["H2_dH"] * nH2 * nH
+        r["Hm_mn"] = k["Hm_mn"] * nHm * nHp
+        r["H2p_dr"] = k["H2p_dr"] * nH2p * ne
+        r["Dp_cx"] = k["Dp_cx"] * nDp * nH
+        r["D_cx"] = k["D_cx"] * nD * nHp
+        r["D_rec"] = k["D_rec"] * nDp * ne
+        r["HD_form"] = k["HD_form"] * nDp * nH2
+        r["HD_dest"] = k["HD_dest"] * nHD * nHp
+        r["HD_formn"] = k["HD_formn"] * nD * nH2
+        r["HD_destn"] = k["HD_destn"] * nHD * nH
+
+        d_e = (r["H_ion"] - r["H_rec"] + r["He_ion"] - r["He_rec"]
+               + r["Hep_ion"] - r["Hepp_rec"] - r["Hm_form"] + r["H2_Hm"]
+               - r["H2p_dr"] - r["D_rec"])
+        d_H = (-r["H_ion"] + r["H_rec"] - r["Hm_form"] - r["H2_Hm"]
+               - r["H2p_form"] - r["H2_H2p"] + r["H2_cx"]
+               + 2.0 * r["H2_de"] + 3.0 * r["H2_dH"] - r["H2_dH"]
+               + 2.0 * r["Hm_mn"] + 2.0 * r["H2p_dr"]
+               - r["Dp_cx"] + r["D_cx"]
+               - r["HD_destn"] + r["HD_formn"])
+        # note: H2 + H -> 3H consumes one H and produces three (net +2),
+        # already folded above via (3 - 1)
+        d_Hp = (r["H_ion"] - r["H_rec"] - r["H2p_form"] + r["H2_H2p"]
+                - r["H2_cx"] - r["Hm_mn"] + r["Dp_cx"] - r["D_cx"]
+                + r["HD_form"] - r["HD_dest"])
+        d_Hm = r["Hm_form"] - r["H2_Hm"] - r["Hm_mn"]
+        d_H2 = (r["H2_Hm"] + r["H2_H2p"] - r["H2_cx"] - r["H2_de"]
+                - r["H2_dH"] - r["HD_form"] + r["HD_dest"]
+                - r["HD_formn"] + r["HD_destn"])
+        d_H2p = r["H2p_form"] - r["H2_H2p"] + r["H2_cx"] - r["H2p_dr"]
+        d_D = (r["Dp_cx"] - r["D_cx"] + r["D_rec"]
+               - r["HD_formn"] + r["HD_destn"])
+        d_Dp = (-r["Dp_cx"] + r["D_cx"] - r["D_rec"]
+                - r["HD_form"] + r["HD_dest"])
+        d_HD = r["HD_form"] - r["HD_dest"] + r["HD_formn"] - r["HD_destn"]
+        d_He = -r["He_ion"] + r["He_rec"]
+        d_Hep = r["He_ion"] - r["He_rec"] - r["Hep_ion"] + r["Hepp_rec"]
+        d_Hepp = r["Hep_ion"] - r["Hepp_rec"]
+
+        return jnp.stack([d_e, d_H, d_Hp, d_Hm, d_H2, d_H2p,
+                          d_D, d_Dp, d_HD, d_He, d_Hep, d_Hepp])
+
+    # conserved linear combinations (for tests and renormalization)
+    def conserved_totals(self, y):
+        """(H nuclei, D nuclei, He nuclei, charge) of a state [..., 12]."""
+        (ne, nH, nHp, nHm, nH2, nH2p, nD, nDp, nHD,
+         nHe, nHep, nHepp) = [y[..., i] for i in range(12)]
+        nucH = nH + nHp + nHm + 2.0 * nH2 + 2.0 * nH2p + nHD
+        nucD = nD + nDp + nHD
+        nucHe = nHe + nHep + nHepp
+        charge = (nHp - nHm + nH2p + nDp + nHep + 2.0 * nHepp) - ne
+        return nucH, nucD, nucHe, charge
