@@ -104,7 +104,7 @@ def pad_axis(
             Ug = problem.fill_user_boundary(Ug, grid, ng, time, d, 0)
         if hi_kind == BC_USER:
             Ug = problem.fill_user_boundary(Ug, grid, ng, time, d, 1)
-        from .registry import BC_NSCBC_OUTFLOW
+        from .registry import BC_NSCBC_INFLOW, BC_NSCBC_OUTFLOW
 
         if BC_NSCBC_OUTFLOW in (lo_kind, hi_kind):
             from .hydro.nscbc import set_outflow_boundary
@@ -115,6 +115,15 @@ def pad_axis(
                 Ug = set_outflow_boundary(Ug, d, 0, P_t, grid, ng, eos)
             if hi_kind == BC_NSCBC_OUTFLOW:
                 Ug = set_outflow_boundary(Ug, d, 1, P_t, grid, ng, eos)
+        if BC_NSCBC_INFLOW in (lo_kind, hi_kind):
+            from .hydro.nscbc import set_inflow_boundary
+
+            eos = problem.make_eos()
+            targets = problem.nscbc_inflow_targets(grid, time)
+            if lo_kind == BC_NSCBC_INFLOW:
+                Ug = set_inflow_boundary(Ug, d, 0, targets, grid, ng, eos)
+            if hi_kind == BC_NSCBC_INFLOW:
+                Ug = set_inflow_boundary(Ug, d, 1, targets, grid, ng, eos)
     return Ug
 
 

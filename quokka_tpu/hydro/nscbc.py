@@ -174,3 +174,142 @@ def set_outflow_boundary(
         sl[ax] = idx
         out = out.at[tuple(sl)].set(cons)
     return out
+
+
+def set_inflow_boundary(
+    Ug: jnp.ndarray,
+    axis: int,
+    side: int,
+    targets,
+    grid,
+    ng: Sequence[int],
+    eos: IdealGasEOS,
+) -> jnp.ndarray:
+    """Overwrite the ghost slabs with NSCBC subsonic-inflow values
+    (reference `NSCBC::setInflowX1Lower`, ``src/hydro/NSCBC_inflow.hpp``:
+    incoming characteristic amplitudes relax the boundary state toward the
+    target (T_t, u_t, v_t, w_t, s_t) with relaxation coefficients eta = 2;
+    the outgoing acoustic wave passes through).
+
+    `targets` is (T_t, u_t, v_t, w_t, s_t-tuple); the normal velocity
+    target u_t is in the INWARD direction (positive = entering the domain
+    on either side).
+    """
+    T_t, u_t, v_t, w_t, s_t = targets
+    g = ng[axis]
+    ax = axis + 1
+    n_int = Ug.shape[ax] - 2 * g
+    L_box = grid.prob_hi[axis] - grid.prob_lo[axis]
+    dx = grid.dx[axis]
+
+    def plane(idx):
+        from jax import lax
+
+        return lax.index_in_dim(Ug, idx, axis=ax, keepdims=False)
+
+    if side == 1:
+        ibr, step = g + n_int - 1, -1
+    else:
+        ibr, step = g, +1
+
+    Q_i = _prim_plane(plane(ibr), eos)
+    Q_ip1 = _prim_plane(plane(ibr + step), eos)
+    Q_ip2 = _prim_plane(plane(ibr + 2 * step), eos)
+
+    # one-sided inward derivative; for the upper side, work in a mirrored
+    # frame where the inward normal is +x (u -> -u)
+    dQ_dn = (-3.0 * Q_i + 4.0 * Q_ip1 - Q_ip2) / (2.0 * dx)
+
+    perm = [axis] + [a for a in range(3) if a != axis]
+
+    def vel(Q, comp):
+        return Q[1 + perm[comp]]
+
+    mirror = -1.0 if side == 1 else 1.0
+    rho = Q_i[0]
+    u = mirror * vel(Q_i, 0)
+    v = vel(Q_i, 1)
+    w = vel(Q_i, 2)
+    P = Q_i[4]
+    eint_aux = Q_i[5]
+    c = eos.sound_speed(rho, P)
+    M = jnp.clip(jnp.sqrt(u * u + v * v + w * w) / c, 0.0, 1.0)
+    T = eos.tgas_from_eint(rho, eos.eint_from_pres(rho, P))
+    eint_aux_t = eos.eint_from_tgas(rho, T_t)
+
+    du_dx = mirror * vel(dQ_dn, 0)
+    dP_dx = dQ_dn[4]
+
+    eta = 2.0
+    R_gas = eos.boltzmann_constant / eos.mean_molecular_weight
+    Lx = L_box
+    c2 = c * c
+    cpu = c + u
+    u_safe = jnp.where(jnp.abs(u) > 1e-30, u, jnp.where(u >= 0, 1e-30, -1e-30))
+    m2m1 = M * M - 1.0
+
+    # reference dQ_dx_inflow_x1_lower (SymPy-derived closed forms)
+    d_rho = 0.5 * (
+        Lx * u * cpu * (-c * du_dx * rho + dP_dx)
+        - 2.0 * R_gas * c * eta * rho * cpu * (T - T_t)
+        - c2 * eta * rho * u * m2m1 * (u - u_t)
+    ) / (Lx * c2 * u_safe * cpu)
+    d_u = 0.5 * (
+        Lx * cpu * (c * du_dx * rho - dP_dx)
+        - c2 * eta * rho * m2m1 * (u - u_t)
+    ) / (Lx * c * rho * cpu)
+    d_v = c * eta * (v - v_t) / (Lx * u_safe)
+    d_w = c * eta * (w - w_t) / (Lx * u_safe)
+    d_P = 0.5 * (
+        Lx * cpu * (-c * du_dx * rho + dP_dx)
+        - c2 * eta * rho * m2m1 * (u - u_t)
+    ) / (Lx * cpu)
+    d_eaux = c * eta * (eint_aux - eint_aux_t) / (Lx * u_safe)
+
+    # u == 0 degenerate limits (reference :89-99)
+    u0 = jnp.abs(u) <= 1e-30
+    d_rho0 = 0.5 * (Lx * c * (-c * du_dx * rho + dP_dx)
+                    + c2 * eta * rho * u_t * m2m1) / (Lx * c * c2)
+    d_u0 = 0.5 * (Lx * c * (c * du_dx * rho - dP_dx)
+                  + c2 * eta * rho * u_t * m2m1) / (Lx * c2 * rho)
+    d_P0 = 0.5 * (Lx * c * (-c * du_dx * rho + dP_dx)
+                  + c2 * eta * rho * u_t * m2m1) / (Lx * c)
+    zero = jnp.zeros_like(rho)
+    d_rho = jnp.where(u0, d_rho0, d_rho)
+    d_u = jnp.where(u0, d_u0, d_u)
+    d_v = jnp.where(u0, zero, d_v)
+    d_w = jnp.where(u0, zero, d_w)
+    d_P = jnp.where(u0, d_P0, d_P)
+    d_eaux = jnp.where(u0, zero, d_eaux)
+
+    dQ_dx = dQ_dn
+    dQ_dx = dQ_dx.at[0].set(d_rho)
+    dQ_dx = dQ_dx.at[1 + perm[0]].set(mirror * d_u)
+    dQ_dx = dQ_dx.at[1 + perm[1]].set(d_v)
+    dQ_dx = dQ_dx.at[1 + perm[2]].set(d_w)
+    dQ_dx = dQ_dx.at[4].set(d_P)
+    dQ_dx = dQ_dx.at[5].set(d_eaux)
+    for n in range(Q_i.shape[0] - 6):
+        s_target = s_t[n] if n < len(s_t) else 0.0
+        d_s = c * eta * (Q_i[6 + n] - s_target) / (Lx * u_safe)
+        dQ_dx = dQ_dx.at[6 + n].set(jnp.where(u0, zero, d_s))
+
+    # ghost extrapolation consistent with dQ/dx at the face (reference
+    # NSCBC_inflow.hpp:130-136); dQ_dx is in the inward (+) frame of the
+    # lower side -- flip for the upper side
+    dQ = (-1.0 if side == 1 else 1.0) * dQ_dx
+    Q_m1 = Q_ip1 - 2.0 * dx * dQ
+    Q_m2 = -2.0 * Q_ip1 - 3.0 * Q_i + 6.0 * Q_m1 + 6.0 * dx * dQ
+    Q_m3 = 3.0 * Q_ip1 + 10.0 * Q_i - 18.0 * Q_m1 + 6.0 * Q_m2 - 12.0 * dx * dQ
+    Q_m4 = (-2.0 * Q_ip1 - 13.0 * Q_i + 24.0 * Q_m1 - 12.0 * Q_m2
+            + 4.0 * Q_m3 + 12.0 * dx * dQ)
+
+    ghosts = [Q_m1, Q_m2, Q_m3, Q_m4][:g]
+    out = Ug
+    for m, Qg in enumerate(ghosts):
+        cons = _cons_plane(Qg, eos)
+        idx = ibr - step * (m + 1)
+        sl = [slice(None)] * Ug.ndim
+        sl[ax] = idx
+        out = out.at[tuple(sl)].set(cons)
+    return out

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     hydro_suite,
     kelvin_helmholtz,
     leblanc,
+    nscbc_channel,
     rad_dust,
     rad_marshak,
     rad_matter_coupling,

@@ -107,6 +107,8 @@ BC_OUTFLOW = "outflow"
 BC_REFLECT = "reflect"
 BC_USER = "user"  # ext_dir: problem supplies fill_user_boundary hook
 BC_NSCBC_OUTFLOW = "nscbc_outflow"  # characteristic subsonic outflow
+BC_NSCBC_INFLOW = "nscbc_inflow"  # characteristic subsonic inflow
+# inflow targets read from problem.nscbc_inflow_targets(grid, time)
 # target pressure read from problem.nscbc_outflow_pressure
 
 

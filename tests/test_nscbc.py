@@ -92,3 +92,35 @@ def test_nscbc_pressure_relaxation():
     # the acoustic bump must leave the domain and pressure relax to P_t
     assert np.abs(P - P0).max() < 0.004  # well below the initial 5% bump
     assert np.all(np.isfinite(np.asarray(sim.U)))
+
+
+def test_nscbc_inflow_channel_reaches_target():
+    """Characteristic inflow + outflow: gas at rest spins up to the target
+    subsonic channel state (u = u_t, T = T_t, P = P_t) without reflections
+    (reference NSCBC Channel problem)."""
+    import numpy as np
+
+    from quokka_tpu import ParmParse, Simulation
+    from quokka_tpu.problems.nscbc_channel import (
+        NSCBCChannelProblem, RHO0, T0, U_TARGET,
+    )
+
+    pp = ParmParse.from_string("""
+geometry.prob_hi = 1.0 1.0 1.0
+amr.n_cell = 64 1 1
+cfl = 0.4
+stop_time = 20.0
+max_timesteps = 10000
+verbose = 0
+""")
+    sim = Simulation(NSCBCChannelProblem(), pp)
+    sim.set_initial_conditions()
+    sim.evolve()
+
+    U = np.asarray(sim.U)
+    assert np.all(np.isfinite(U))
+    vx = U[1][:, 0, 0] / U[0][:, 0, 0]
+    T = U[5][:, 0, 0] / U[0][:, 0, 0] * (1.4 - 1.0) * 1.0  # eint = rho T/(mu(g-1))
+    np.testing.assert_allclose(vx, U_TARGET, rtol=0.02)
+    np.testing.assert_allclose(U[0][:, 0, 0], RHO0, rtol=0.05)
+    np.testing.assert_allclose(T, T0, rtol=0.02)
