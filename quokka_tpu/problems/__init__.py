@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     rad_streaming,
     rad_suolson,
     radhydro_bench,
+    rayleigh_taylor,
     radhydro_shock,
     sedov,
     shocktube,

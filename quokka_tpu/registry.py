@@ -172,6 +172,11 @@ class Problem:
     def error_est(self, sim, level: int):
         return None
 
+    def external_acceleration(self, grid):
+        """Static external acceleration field g[3, nx, ny, nz] (e.g. the
+        constant gravity of the Rayleigh-Taylor setups); None disables."""
+        return None
+
     def compute_derived_var(self, name: str, sim):
         raise NotImplementedError(name)
 

@@ -272,6 +272,26 @@ class Simulation:
         if self.gravity_enabled:
             self._setup_gravity()
 
+        # static external acceleration (problem hook): operator-split kick
+        g_ext = self.problem.external_acceleration(self.grid)
+        self._g_ext = None
+        if g_ext is not None:
+            import jax
+
+            g_ext = jnp.asarray(g_ext, self.dtype)
+
+            def ext_kick(U, dt):
+                from .indices import EGAS, MX1, RHO
+
+                rho = U[RHO]
+                mom_old = U[MX1:MX1 + 3]
+                mom_new = mom_old + dt * rho[None] * g_ext
+                dE = 0.5 * dt * jnp.sum(g_ext * (mom_old + mom_new), axis=0)
+                U = U.at[MX1:MX1 + 3].set(mom_new)
+                return U.at[EGAS].add(dE)
+
+            self._g_ext = jax.jit(ext_kick)
+
     def _attach_radiation(self):
         from .radiation.advance import RadiationAdvance
 
@@ -451,6 +471,9 @@ class Simulation:
 
             if self.gravity_enabled:
                 self._gravity_after_step(dt)
+
+            if self._g_ext is not None:
+                self.U = self._g_ext(self.U, dt)
 
             if self.check_states:
                 self._check_states_valid()
