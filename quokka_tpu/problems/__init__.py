@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     leblanc,
     nscbc_channel,
     rad_dust,
+    rad_force,
     rad_marshak,
     rad_matter_coupling,
     rad_multigroup,
