@@ -23,4 +23,5 @@ from . import (  # noqa: F401
     radhydro_shock,
     sedov,
     shocktube,
+    spherical_collapse,
 )
