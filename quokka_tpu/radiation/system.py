@@ -62,17 +62,23 @@ def eddington_factor(f: jnp.ndarray) -> jnp.ndarray:
 
 def eddington_tensor(fx, fy, fz):
     """3x3 Eddington tensor from the reduced flux vector (reference
-    `ComputeEddingtonTensor`, ``radiation_system.hpp:874-916``)."""
-    f = jnp.sqrt(fx * fx + fy * fy + fz * fz)
-    safe = jnp.where(f > 0.0, f, 1.0)
-    n = [jnp.where(f > 0.0, fx / safe, 0.0),
-         jnp.where(f > 0.0, fy / safe, 0.0),
-         jnp.where(f > 0.0, fz / safe, 0.0)]
+    `ComputeEddingtonTensor`, ``radiation_system.hpp:874-916``).
+
+    Written division-light for the VPU-bound Pallas transport kernel:
+    n_i n_j = f_i f_j / f^2 needs ONE reciprocal instead of three
+    normalizing divisions (Tf/f^2 is folded into a single factor)."""
+    f2 = fx * fx + fy * fy + fz * fz
+    f = jnp.sqrt(f2)
     chi = eddington_factor(f)
     Tdiag = 0.5 * (1.0 - chi)
-    Tf = 0.5 * (3.0 * chi - 1.0)
-    T = [[Tdiag * (1.0 if i == j else 0.0) + Tf * n[i] * n[j] for j in range(3)]
-         for i in range(3)]
+    # Tf * n_i * n_j = (Tf / f^2) * f_i * f_j; at f -> 0 Tf -> 0 like f^2
+    tf_over_f2 = jnp.where(f2 > 0.0,
+                           0.5 * (3.0 * chi - 1.0)
+                           / jnp.where(f2 > 0.0, f2, 1.0),
+                           0.0)
+    fv = (fx, fy, fz)
+    T = [[Tdiag * (1.0 if i == j else 0.0) + tf_over_f2 * fv[i] * fv[j]
+          for j in range(3)] for i in range(3)]
     return T
 
 
@@ -182,9 +188,11 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
         Fx = jnp.where(bad, Fx_fb, fx * c * q[0])
         Fy = jnp.where(bad, Fy_fb, fy * c * q[0])
         Fz = jnp.where(bad, Fz_fb, fz * c * q[0])
-        fx = Fx / (c * erad)
-        fy = Fy / (c * erad)
-        fz = Fz / (c * erad)
+        # one reciprocal instead of three divisions (VPU hot path)
+        inv_cE = 1.0 / (c * erad)
+        fx = Fx * inv_cE
+        fy = Fy * inv_cE
+        fz = Fz * inv_cE
         return erad, (Fx, Fy, Fz), (fx, fy, fz)
 
     erad_L, F3_L, f3_L = unpack(qL, consL)
