@@ -343,6 +343,7 @@ def rk2_stage(
     periodic: Sequence[bool],
     opts: HydroOptions,
     mask_fill_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    redo_any_fn: Callable | None = None,
 ):
     """One flux-application stage with masked FOFC.
 
@@ -360,6 +361,8 @@ def rk2_stage(
     Returns (U_new interior, final fluxes, final facevels, n_fofc)."""
     if mask_fill_fn is None:
         mask_fill_fn = lambda m: _pad_mask(m, ng, periodic)
+    if redo_any_fn is None:
+        redo_any_fn = jnp.any
 
     def apply(fl, fv, redo_mask):
         rhs = rhs_from_fluxes(fl, opts)
@@ -370,9 +373,28 @@ def rk2_stage(
     redo = jnp.logical_not(euler.is_state_valid(U1, opts.eos))
     n_redo = jnp.sum(redo)
 
-    mask_p = mask_fill_fn(redo)
-    fl2, fv2 = _blend_fofc(fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts)
-    U_new = apply(fl2, fv2, mask_p)
+    # the redo path (mask pad + flux blend + second update) costs as much
+    # as the first update; gate it behind a DEVICE-side cond so the common
+    # all-valid step skips it entirely -- still no host round-trip (the
+    # reference host-syncs redoFlag.sum() instead,
+    # src/QuokkaSimulation.hpp:1147). `redo_any_fn` must return a globally
+    # uniform scalar under shard_map (a psum'd any), because the redo
+    # branch contains the halo-exchange collective for the mask.
+    from jax import lax as _lax
+
+    def _redo_branch(_):
+        mask_p = mask_fill_fn(redo)
+        fl2, fv2 = _blend_fofc(fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts)
+        U_new = apply(fl2, fv2, mask_p)
+        return U_new, tuple(fl2[d] for d in sorted(fl2)), tuple(fv2[d] for d in sorted(fv2))
+
+    def _clean_branch(_):
+        return U1, tuple(fluxes[d] for d in sorted(fluxes)), tuple(facevels[d] for d in sorted(facevels))
+
+    U_new, fl_t, fv_t = _lax.cond(redo_any_fn(redo), _redo_branch, _clean_branch, None)
+    axes = sorted(fluxes)
+    fl2 = {d: fl_t[i] for i, d in enumerate(axes)}
+    fv2 = {d: fv_t[i] for i, d in enumerate(axes)}
     return U_new, fl2, fv2, n_redo
 
 
@@ -386,6 +408,7 @@ def advance_hydro_rk2(
     mask_fill_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     fill_fn2: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     return_fluxes: bool = False,
+    redo_any_fn: Callable | None = None,
 ):
     """Full RK2-SSP hydro step (reference `advanceHydroAtLevel`,
     ``src/QuokkaSimulation.hpp:1033-1325``).
@@ -406,7 +429,7 @@ def advance_hydro_rk2(
     fluxes1, facevels1 = compute_fluxes(Ug0, opts)
     U1, fl1, fv1, n_fofc1 = rk2_stage(
         U, Ug0, fluxes1, facevels1, fo_fluxes, fo_facevels, dt, ng, periodic, opts,
-        mask_fill_fn,
+        mask_fill_fn, redo_any_fn,
     )
     U1 = euler.enforce_limits(
         U1, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
@@ -427,7 +450,7 @@ def advance_hydro_rk2(
     vel_avg = {d: 0.5 * (fv1[d] + facevels2[d]) for d in fv1}
     U2, fl2, _, n_fofc2 = rk2_stage(
         U, Ug0, flux_avg, vel_avg, fo_fluxes, fo_facevels, dt, ng, periodic, opts,
-        mask_fill_fn,
+        mask_fill_fn, redo_any_fn,
     )
     U2 = euler.enforce_limits(
         U2, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars

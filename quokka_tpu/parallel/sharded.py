@@ -52,9 +52,18 @@ def build_sharded_step(
     mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
     red_axes = tuple(AXIS_NAMES[d] for d in decomp.sharded_dims())
 
+    def redo_any(redo):
+        # the FOFC redo branch contains the halo-exchange collective, so the
+        # cond predicate must be globally uniform across shards
+        n = jnp.sum(redo.astype(jnp.int32))
+        if red_axes:
+            n = lax.psum(n, red_axes)
+        return n > 0
+
     def local_step(U_local, dt):
         Uh_new, st = hydro_advance.advance_hydro_rk2(
-            U_local[:nh], dt, opts, fill, ng, periodic, mask_fill
+            U_local[:nh], dt, opts, fill, ng, periodic, mask_fill,
+            redo_any_fn=redo_any,
         )
         if nh < U_local.shape[0]:
             U_new = jnp.concatenate([Uh_new, U_local[nh:]], axis=0)

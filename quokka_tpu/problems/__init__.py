@@ -6,6 +6,7 @@ the reference's ``src/problems/*`` applications.
 
 from . import (  # noqa: F401
     advection,
+    advection2d,
     hydro_suite,
     kelvin_helmholtz,
     leblanc,
@@ -24,4 +25,5 @@ from . import (  # noqa: F401
     sedov,
     shocktube,
     spherical_collapse,
+    star_cluster,
 )

@@ -276,8 +276,6 @@ class Simulation:
         g_ext = self.problem.external_acceleration(self.grid)
         self._g_ext = None
         if g_ext is not None:
-            import jax
-
             g_ext = jnp.asarray(g_ext, self.dtype)
 
             def ext_kick(U, dt):
@@ -472,7 +470,7 @@ class Simulation:
             if self.gravity_enabled:
                 self._gravity_after_step(dt)
 
-            if self._g_ext is not None:
+            if getattr(self, "_g_ext", None) is not None:
                 self.U = self._g_ext(self.U, dt)
 
             if self.check_states:
