@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     rad_streaming,
     rad_suolson,
     radhydro_bench,
+    radhydro_pulse,
     rayleigh_taylor,
     radhydro_shock,
     sedov,
