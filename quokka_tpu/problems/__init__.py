@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     kelvin_helmholtz,
     leblanc,
     nscbc_channel,
+    rad_beam,
     rad_dust,
     rad_force,
     rad_marshak,
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
     rad_pulse,
     rad_streaming,
     rad_suolson,
+    rad_tophat,
     radhydro_bench,
     radhydro_pulse,
     rayleigh_taylor,
