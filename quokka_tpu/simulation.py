@@ -443,9 +443,36 @@ class Simulation:
                 f"{U[comp, i, j, k]!r} (debug.check_states = 1)"
             )
 
+    def _performance_hints(self):
+        """Warn about configurations that underutilize the device
+        (reference `PerformanceHints`, ``src/simulation.hpp:486-520``:
+        too-few/too-small boxes per rank; here: small grids that cannot
+        fill the TPU's vector units, and f64 states that fall off the
+        Pallas fast path)."""
+        import jax as _jax
+
+        backend = _jax.default_backend()
+        if backend == "cpu":
+            return
+        n = self.grid.n_cell
+        if self.grid.num_cells < 64 ** 3 and len(self.grid.active_axes) == 3:
+            print(f"[performance] grid {n} is small for a TPU chip; "
+                  "expect low MXU/VPU utilization (the benchmark sweet spot "
+                  "is >= 128^3 per chip)")
+        if any(self.grid.n_cell[d] % 128 != 0 for d in (2,) if self.grid.n_cell[2] > 1):
+            print(f"[performance] n_cell z = {n[2]} is not a multiple of 128 "
+                  "(the TPU lane width); padding wastes vector lanes")
+        if self.dtype == jnp.float64:
+            print("[performance] f64 state: the fused Pallas kernels are "
+                  "f32-only (Mosaic cannot take f64 operands), falling back "
+                  "to the XLA formulation (~3x slower; set precision=single "
+                  "if f32 suffices)")
+
     def evolve(self):
         if self.U is None:
             self.set_initial_conditions()
+        if self.verbose:
+            self._performance_hints()
 
         start_walltime = _time.perf_counter()
         ncells = self.grid.num_cells
