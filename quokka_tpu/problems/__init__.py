@@ -25,7 +25,9 @@ from . import (  # noqa: F401
     radhydro_pulse,
     rayleigh_taylor,
     radhydro_shock,
+    random_blast,
     sedov,
+    shock_cloud,
     shocktube,
     spherical_collapse,
     star_cluster,
