@@ -224,3 +224,47 @@ class QuirkProblem(Problem):
             return _set_prim_slab(Ug, slice(0, g), *self.DL, gamma)
         n = Ug.shape[1]
         return _set_prim_slab(Ug, slice(n - g, n), *self.DR, gamma)
+
+
+@register_problem
+class RichtmeyerMeshkovProblem(Problem):
+    """Richtmeyer-Meshkov instability (2D): a shock crossing a sinusoidally
+    perturbed contact discontinuity (reference
+    ``src/problems/HydroRichtmeyerMeshkov``)."""
+
+    name = "HydroRichtmeyerMeshkov"
+    physics = PhysicsTraits(hydro_enabled=True)
+    eos_traits = EOSTraits(gamma=1.4)
+    bcs = BCSpec(x=(BC_OUTFLOW, BC_OUTFLOW), y=(BC_PERIODIC, BC_PERIODIC))
+
+    def set_initial_conditions(self, grid):
+        x, y, _z = grid.cell_center_mesh()
+        shape = grid.n_cell
+        g = self.eos_traits.gamma
+        # perturbed interface at x = 0.5 + 0.02 cos(2 pi y); shock at x = 0.3
+        x_if = 0.5 + 0.02 * jnp.cos(2.0 * jnp.pi * y)
+        heavy = jnp.broadcast_to(x > x_if, shape)
+        shocked = jnp.broadcast_to(x < 0.3, shape)
+        rho = jnp.where(heavy, 3.0, 1.0)
+        rho = jnp.where(shocked, 2.667, rho)  # Mach-2 post-shock (gamma 1.4)
+        vx = jnp.where(shocked, 1.479, 0.0)
+        P = jnp.where(shocked, 4.5, 1.0)
+        return _prim_state(grid, rho, vx, P, g)
+
+
+@register_problem
+class Blast2DProblem(Problem):
+    """Cylindrical Sedov blast (2D), the reference's HydroBlast2D."""
+
+    name = "HydroBlast2D"
+    physics = PhysicsTraits(hydro_enabled=True)
+    eos_traits = EOSTraits(gamma=1.4)
+    bcs = BCSpec()
+
+    def set_initial_conditions(self, grid):
+        x, y, _z = grid.cell_center_mesh()
+        shape = grid.n_cell
+        g = self.eos_traits.gamma
+        r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
+        P = jnp.where(r2 < 0.01, 10.0, 0.1)
+        return _prim_state(grid, 1.0, 0.0, P, g)

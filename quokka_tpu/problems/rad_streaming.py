@@ -96,3 +96,56 @@ class RadStreamingProblem(Problem):
         ref[:] = np.asarray(sim.U)
         ref[layout.rad_index(0, 0)] = erad_exact[:, None, None]
         return ref
+
+
+@register_problem
+class RadStreamingYProblem(Problem):
+    """Streaming along the y axis (reference RadStreamingY): identical
+    physics to `RadStreamingProblem`, exercising the axis permutation of
+    the transport sweep."""
+
+    name = "RadStreamingY"
+    physics = PhysicsTraits(hydro_enabled=False, radiation_enabled=True)
+    eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=1.0,
+                           boltzmann_constant=1.0)
+    rad = RadTraits(
+        c_light=C_LIGHT,
+        c_hat=CHAT,
+        radiation_constant=1.0,
+        Erad_floor=INITIAL_ERAD,
+        beta_order=0,
+    )
+    bcs = BCSpec(
+        x=(BC_PERIODIC, BC_PERIODIC),
+        y=(BC_USER, BC_USER),
+        z=(BC_PERIODIC, BC_PERIODIC),
+    )
+
+    def compute_planck_opacity(self, rho, T):
+        return jnp.full_like(rho, KAPPA0)
+
+    def set_initial_conditions(self, grid):
+        shape = grid.n_cell
+        layout = self.physics.layout()
+        U = jnp.zeros((layout.nvar, *shape))
+        U = U.at[RHO].set(RHO0)
+        U = U.at[EGAS].set(INITIAL_EGAS)
+        U = U.at[EINT].set(INITIAL_EGAS)
+        U = U.at[layout.rad_index(0, 0)].set(INITIAL_ERAD)
+        return U
+
+    def fill_user_boundary(self, Ug, grid, ng, time, axis, side):
+        assert axis == 1
+        g = ng[1]
+        layout = self.physics.layout()
+        iE = layout.rad_index(0, 0)
+        iFy = layout.rad_index(0, 2)
+        nvar = Ug.shape[0]
+        vals = jnp.zeros((nvar,), dtype=Ug.dtype)
+        vals = vals.at[RHO].set(RHO0).at[EGAS].set(INITIAL_EGAS).at[EINT].set(INITIAL_EGAS)
+        if side == 0:  # inflow beam along +y
+            vals = vals.at[iE].set(1.0).at[iFy].set(C_LIGHT * 1.0)
+        else:
+            vals = vals.at[iE].set(INITIAL_ERAD)
+        sl = slice(0, g) if side == 0 else slice(Ug.shape[2] - g, Ug.shape[2])
+        return Ug.at[:, :, sl].set(vals[:, None, None, None])

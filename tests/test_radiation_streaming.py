@@ -41,3 +41,37 @@ def test_rad_streaming_front():
     rel_err = np.sum(np.abs(erad - exact)) / np.sum(np.abs(exact))
     print(f"streaming rel L1 err = {rel_err:.4f}")
     assert rel_err < 0.01
+
+
+def test_streaming_y_matches_x():
+    """Streaming along y reproduces the x-axis front (axis-permutation
+    parity of the transport sweep, reference RadStreamingY)."""
+    import numpy as np
+
+    from quokka_tpu import ParmParse, Simulation
+    from quokka_tpu.problems.rad_streaming import (
+        C_LIGHT, RadStreamingProblem, RadStreamingYProblem,
+    )
+
+    def run(prob, n_cell, axis):
+        pp = ParmParse.from_string(f"""
+geometry.prob_hi = 1.0 1.0 1.0
+amr.n_cell = {n_cell}
+radiation.cfl = 0.4
+constant_dt = {0.4 / 128 / C_LIGHT}
+stop_time = {0.2 / C_LIGHT}
+max_timesteps = 200
+verbose = 0
+""")
+        sim = Simulation(prob, pp)
+        sim.set_initial_conditions()
+        sim.evolve()
+        U = np.asarray(sim.U)
+        rs = sim._radiation.rad_start
+        if axis == 0:
+            return U[rs][:, 0, 0]
+        return U[rs][0, :, 0]
+
+    Ex = run(RadStreamingProblem(), "128 1 1", 0)
+    Ey = run(RadStreamingYProblem(), "1 128 1", 1)
+    np.testing.assert_allclose(Ey, Ex, rtol=1e-10)
