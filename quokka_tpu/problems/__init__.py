@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     rad_dust,
     rad_force,
     rad_marshak,
+    rad_marshak_asymptotic,
     rad_matter_coupling,
     rad_multigroup,
     rad_pulse,

@@ -178,6 +178,25 @@ class RadiationAdvance:
         boundaries = self.boundaries
         kB = problem.eos_traits.boltzmann_constant
 
+        # asymptotic wavespeed correction: face-harmonic-mean cell optical
+        # depth from the flux-mean opacity (reference ComputeCellOpticalDepth,
+        # radiation_system.hpp:805-880); requires the full-state fill
+        tau_fn = None
+        if opts.use_wavespeed_correction:
+            from ..stencil import sh as _sh
+            from ..indices import EINT as _EINT, RHO as _RHO
+
+            def tau_fn(Ug, d):
+                rho = Ug[_RHO]
+                T = eos.tgas_from_eint(rho, Ug[_EINT])
+                if multigroup:
+                    kf = problem.compute_group_opacities(boundaries, rho, T)
+                else:
+                    kf = kappa_f(rho, T)[None]
+                tau_c = rho[None] * kf * dx[d]
+                tau_l = _sh(tau_c, -1, d + 1)
+                return 2.0 * tau_l * tau_c / jnp.maximum(tau_l + tau_c, 1e-300)
+
         dust_enabled = problem.ism.enable_dust_gas_thermal_coupling_model
 
         def source_update(U, rad_src, dt, stage):
@@ -226,7 +245,7 @@ class RadiationAdvance:
 
             # stage 1: forward-Euler transport
             Ug0 = fill_for_transport(U)
-            divF0 = interior(rad_transport_div(Ug0, rad_start_eff, opts, active, dx), ng_t)
+            divF0 = interior(rad_transport_div(Ug0, rad_start_eff, opts, active, dx, tau_fn), ng_t)
             R0 = rad_part(U)
             R1 = predict_step(R0, divF0, dt, opts)
             U1 = with_rad(U, R1)
@@ -236,7 +255,7 @@ class RadiationAdvance:
 
             # stage 2: midpoint RK2 transport from the source-updated state
             Ug1 = fill_for_transport(U1)
-            divF1 = interior(rad_transport_div(Ug1, rad_start_eff, opts, active, dx), ng_t)
+            divF1 = interior(rad_transport_div(Ug1, rad_start_eff, opts, active, dx, tau_fn), ng_t)
             R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
             U2 = with_rad(U1, R_new)
 

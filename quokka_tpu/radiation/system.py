@@ -143,13 +143,26 @@ def compute_rad_fluxes(
     prim_flat = prim.reshape(G * 4, *spatial)
     cons_flat = R.reshape(G * 4, *spatial)
 
-    if opts.use_pallas and len(active_axes) == 3 and prim_flat.dtype == jnp.float32:
+    if (opts.use_pallas and len(active_axes) == 3
+            and prim_flat.dtype == jnp.float32 and tau_fn is None):
         from .pallas_sweep import compute_rad_axis_flux_pallas
 
         return {
             d: compute_rad_axis_flux_pallas(prim_flat, cons_flat, d, opts, G)
             for d in active_axes
         }
+
+    # even-zone parity mask for the asymptotic correction (reference
+    # applies the Skinner-Ostriker epsilon only on (i+j+k) % 2 == 0 zones
+    # to suppress odd-even decoupling)
+    parity = None
+    if tau_fn is not None:
+        idx = sum(
+            jnp.arange(spatial[a]).reshape(
+                (1,) * a + (-1,) + (1,) * (2 - a))
+            for a in range(3)
+        )
+        parity = (idx % 2) == 0
 
     fluxes = {}
     for d in active_axes:
@@ -163,18 +176,31 @@ def compute_rad_fluxes(
         cLg = cL.reshape(G, 4, *spatial)
         cRg = cR.reshape(G, 4, *spatial)
 
+        eps_g = None
+        if tau_fn is not None:
+            tau = tau_fn(Ug, d)  # [G, ...] face-averaged optical depth
+            s_corr = jnp.minimum(1.0, 1.0 / jnp.maximum(tau, 1e-300))
+            eps_g = jnp.where(parity[None], s_corr, 1.0)
+
         F_groups = []
         for g in range(G):
-            F_g = _hll_group_flux(qL[g], qR[g], cLg[g], cRg[g], d, opts)
+            F_g = _hll_group_flux(
+                qL[g], qR[g], cLg[g], cRg[g], d, opts,
+                eps_energy=None if eps_g is None else eps_g[g],
+            )
             F_groups.append(F_g)
         fluxes[d] = jnp.stack(F_groups)
     return fluxes
 
 
-def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
+def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions,
+                    eps_energy=None):
     """HLL flux for one photon group at all faces along `axis`.
     qL/qR: [4, ...] primitive (E, fx, fy, fz); consL/consR: [4, ...]
-    donor-cell conserved states for the fallback."""
+    donor-cell conserved states for the fallback. `eps_energy` scales the
+    energy component of the HLL diffusive term (the Skinner & Ostriker
+    2019 asymptotic wavespeed correction, min(1, 1/tau) on even zones;
+    reference ``radiation_system.hpp:1100-1118``)."""
     c, chat = opts.c, opts.chat
 
     def unpack(q, cons):
@@ -217,8 +243,10 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions):
     # F = (S_R F_L - S_L F_R + S_R S_L (U_R - U_L)) / (S_R - S_L), with the
     # common chat factor cancelled analytically:
     inv = 1.0 / (s_R + s_L)
-    F = (s_R * inv)[None] * FLv + (s_L * inv)[None] * FRv \
-        - ((s_R * s_L * inv) * chat)[None] * (U_R - U_L)
+    diff = ((s_R * s_L * inv) * chat)[None] * (U_R - U_L)
+    if eps_energy is not None:
+        diff = diff.at[0].mul(eps_energy)
+    F = (s_R * inv)[None] * FLv + (s_L * inv)[None] * FRv - diff
     return F
 
 
@@ -228,6 +256,7 @@ def rad_transport_div(
     opts: RadOptions,
     active_axes: Sequence[int],
     dx: Sequence[float],
+    tau_fn: Callable | None = None,
 ) -> jnp.ndarray:
     """Total transport flux divergence sum_d (F_d(f) - F_d(f+1))/dx_d on
     padded cells, [G, 4, X, Y, Z].
@@ -237,7 +266,8 @@ def rad_transport_div(
     contribution directly; otherwise falls back to the flux dict + XLA
     divergence formulation.
     """
-    if opts.use_pallas and len(active_axes) == 3 and Ug.dtype == jnp.float32:
+    if (opts.use_pallas and len(active_axes) == 3
+            and Ug.dtype == jnp.float32 and tau_fn is None):
         from .pallas_sweep import compute_rad_div_pallas
 
         G = opts.n_groups
@@ -249,7 +279,7 @@ def rad_transport_div(
             out = contrib if out is None else out + contrib
         return out
     return rad_div_fluxes(
-        compute_rad_fluxes(Ug, rad_start, opts, active_axes, dx), dx
+        compute_rad_fluxes(Ug, rad_start, opts, active_axes, dx, tau_fn), dx
     )
 
 
