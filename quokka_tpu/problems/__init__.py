@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     rad_beam,
     rad_dust,
     rad_force,
+    rad_line_cooling,
     rad_marshak,
     rad_marshak_asymptotic,
     rad_matter_coupling,
