@@ -35,6 +35,7 @@ def build_sharded_step(
     layout,
     problem=None,
     grid=None,
+    strang=None,
 ):
     """Returns a jitted `(U, dt) -> (U_new, stats)` operating on globally
     sharded arrays. stats values are replicated scalars."""
@@ -61,6 +62,8 @@ def build_sharded_step(
         return n > 0
 
     def local_step(U_local, dt):
+        if strang is not None:
+            U_local = strang(U_local, 0.5 * dt)
         Uh_new, st = hydro_advance.advance_hydro_rk2(
             U_local[:nh], dt, opts, fill, ng, periodic, mask_fill,
             redo_any_fn=redo_any,
@@ -69,6 +72,8 @@ def build_sharded_step(
             U_new = jnp.concatenate([Uh_new, U_local[nh:]], axis=0)
         else:
             U_new = Uh_new
+        if strang is not None:
+            U_new = strang(U_new, 0.5 * dt)
         smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
         valid = jnp.all(euler.is_state_valid(U_new, opts.eos))
         n_fofc = st["n_fofc"]

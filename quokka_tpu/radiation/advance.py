@@ -118,7 +118,18 @@ class RadiationAdvance:
             bc == BC_PERIODIC for d in range(3) for bc in problem.bcs.axis(d)
         )
         ng_t = ng  # ghost widths of the transport arrays
-        if sim.decomp is not None:
+        if sim.decomp is not None and (has_user_bc or opts.use_wavespeed_correction):
+            # multi-chip + full-state consumers: the optical-depth wavespeed
+            # correction reads gas RHO/EINT from the filled array and user BC
+            # hooks may read any component, so halo-exchange the FULL state
+            from ..parallel.halo import make_sharded_fill
+
+            fill_for_transport = make_sharded_fill(
+                sim.decomp, sim.ng, problem.bcs, sim.layout,
+                problem if has_user_bc else None, sim.grid,
+            )
+            rad_start_eff = rad_start
+        elif sim.decomp is not None:
             # multi-chip: halo-exchange the radiation slice over the mesh
             from ..parallel.halo import make_sharded_fill
 
@@ -227,22 +238,18 @@ class RadiationAdvance:
                 U, rad_src, dt, stage, opts, eos, kappa_p, kappa_e, kappa_f, rad_start
             )
 
-        def substep(U, time, dt):
-            # python-float dt/time become f64 under jax_enable_x64; keep the
-            # whole solve in the state dtype
-            dt = jnp.asarray(dt, U.dtype)
-            time = jnp.asarray(time, U.dtype)
-            if sim.decomp is not None:
-                # inside shard_map the arrays are shard-local; user radiation
-                # sources need per-shard coordinates (ROADMAP) -- zeros here
-                rad_src = jnp.zeros(U.shape[1:], U.dtype)
-            else:
-                rad_src = jnp.asarray(
-                    problem.set_radiation_energy_source(sim.grid, time), U.dtype
-                )
-            if multigroup and rad_src.ndim == 3:
-                rad_src = jnp.broadcast_to(rad_src[None], (G, *rad_src.shape)) / G
+        def eval_rad_src(time, dtype):
+            """User radiation energy source dE/dt on the GLOBAL grid
+            (reference SetRadEnergySource). Evaluated outside shard_map so
+            the hook sees full-domain coordinates; GSPMD shards the result."""
+            src = jnp.asarray(
+                problem.set_radiation_energy_source(sim.grid, time), dtype
+            )
+            if multigroup and src.ndim == 3:
+                src = jnp.broadcast_to(src[None], (G, *src.shape)) / G
+            return src
 
+        def substep_core(U, rad_src, dt):
             # stage 1: forward-Euler transport
             Ug0 = fill_for_transport(U)
             divF0 = interior(rad_transport_div(Ug0, rad_start_eff, opts, active, dx, tau_fn), ng_t)
@@ -270,17 +277,32 @@ class RadiationAdvance:
                     n_it = jax.lax.pmax(n_it, red)
             return U2, {"newton_iters_max": n_it}
 
+        def substep(U, time, dt):
+            # python-float dt/time become f64 under jax_enable_x64; keep the
+            # whole solve in the state dtype
+            dt = jnp.asarray(dt, U.dtype)
+            time = jnp.asarray(time, U.dtype)
+            return substep_core(U, eval_rad_src(time, U.dtype), dt)
+
         if sim.decomp is not None:
             from jax.sharding import PartitionSpec as P
 
             spec = sim.decomp.state_spec()
-            substep_mapped = jax.shard_map(
-                substep, mesh=sim.decomp.mesh,
-                in_specs=(spec, P(), P()),
+            spatial = tuple(spec)[1:]
+            src_spec = P(None, *spatial) if multigroup else P(*spatial)
+            core_mapped = jax.shard_map(
+                substep_core, mesh=sim.decomp.mesh,
+                in_specs=(spec, src_spec, P()),
                 out_specs=(spec, {"newton_iters_max": P()}),
                 check_vma=False,
             )
-            self._substep_jit = jax.jit(substep_mapped)
+
+            def substep_sharded(U, time, dt):
+                dt = jnp.asarray(dt, U.dtype)
+                time = jnp.asarray(time, U.dtype)
+                return core_mapped(U, eval_rad_src(time, U.dtype), dt)
+
+            self._substep_jit = jax.jit(substep_sharded)
         else:
             self._substep_jit = jax.jit(substep)
 

@@ -166,34 +166,36 @@ class Simulation:
         ng = self.ng
         periodic = self.periodic
 
+        # Strang-split builtin sources (reference
+        # `addStrangSplitSourcesWithBuiltin`, QuokkaSimulation.hpp:520-580):
+        # half-dt cooling/chemistry (+ user sources) before and after the
+        # hydro update; per-cell pointwise, so it runs unchanged inside
+        # shard_map on the multi-chip path
+        cooling_on = bool(self.pp.get_int("cooling.enabled", 0))
+        cooling_table = getattr(self.problem, "cooling_table", None)
+        if cooling_on and cooling_table is None:
+            raise ValueError("cooling.enabled=1 but problem defines no cooling_table")
+        T_floor_cool = self.pp.get_float("cooling.T_floor", 2.73)
+
+        def strang(U, half_dt):
+            if cooling_on:
+                from .microphysics.cooling import strang_cooling_step
+
+                U, _ok = strang_cooling_step(
+                    U, half_dt, self.eos, cooling_table,
+                    mean_mol_weight=self.problem.eos_traits.mean_molecular_weight,
+                    T_floor=T_floor_cool,
+                )
+            return U
+
         if self.decomp is not None:
             from .parallel.sharded import build_sharded_step
 
             self._step_jit = build_sharded_step(
                 opts, self.decomp, ng, periodic, self.problem.bcs, self.layout,
-                self.problem, self.grid,
+                self.problem, self.grid, strang=strang,
             )
         else:
-            # Strang-split builtin sources (reference
-            # `addStrangSplitSourcesWithBuiltin`, QuokkaSimulation.hpp:520-580):
-            # half-dt cooling (+ user sources) before and after the hydro update
-            cooling_on = bool(self.pp.get_int("cooling.enabled", 0))
-            cooling_table = getattr(self.problem, "cooling_table", None)
-            if cooling_on and cooling_table is None:
-                raise ValueError("cooling.enabled=1 but problem defines no cooling_table")
-            T_floor_cool = self.pp.get_float("cooling.T_floor", 2.73)
-
-            def strang(U, half_dt):
-                if cooling_on:
-                    from .microphysics.cooling import strang_cooling_step
-
-                    U, _ok = strang_cooling_step(
-                        U, half_dt, self.eos, cooling_table,
-                        mean_mol_weight=self.problem.eos_traits.mean_molecular_weight,
-                        T_floor=T_floor_cool,
-                    )
-                return U
-
             # the hydro advance operates on the hydro block only; radiation
             # components are evolved solely by the radiation subsystem
             # (reference: hydro fluxes cover ncompHydro_ components,

@@ -99,3 +99,71 @@ def test_sharded_radhydro_matches_single_device():
     U4, n4 = run(decomp)
     assert n1 == n4 and n1 >= 4
     np.testing.assert_allclose(U4, U1, rtol=5e-11, atol=1e-13)
+
+
+def test_sharded_sourced_radiation_matches_single_device():
+    """User radiation energy sources (Su & Olson volume source) must be
+    identical under domain decomposition: the source hook is evaluated on the
+    global grid outside shard_map and block-sharded into the substep
+    (round-1 regression: the sharded path silently zeroed rad_src)."""
+    from quokka_tpu.problems.rad_suolson import RadSuOlsonProblem
+
+    cfg = """
+    geometry.prob_lo = 0.0 0.0 0.0
+    geometry.prob_hi = 30.0 1.0 1.0
+    amr.n_cell = 64 1 1
+    cfl = 0.4
+    max_dt = 1e-2
+    init_dt = 1e-4
+    stop_time = 0.05
+    max_timesteps = 12
+    verbose = 0
+    """
+
+    def run(decomp):
+        sim = Simulation(RadSuOlsonProblem(), ParmParse.from_string(cfg), decomp=decomp)
+        sim.set_initial_conditions()
+        sim.evolve()
+        return np.asarray(sim.U), sim.istep
+
+    U1, n1 = run(None)
+    assert n1 > 0
+    decomp = make_decomposition((64, 1, 1), devices=jax.devices()[:4], tiles=(4, 1, 1))
+    U4, n4 = run(decomp)
+    assert n1 == n4
+    assert np.any(U1[-4] != 0.0)  # the source actually did something
+    np.testing.assert_allclose(U4, U1, rtol=5e-12, atol=0)
+
+
+def test_sharded_wavespeed_correction_matches_single_device():
+    """The Skinner-Ostriker optical-depth wavespeed correction reads gas
+    density/energy during transport, so the sharded path must halo-exchange
+    the full state (round-1 regression: the rad-slice fill fed radiation
+    components to the optical-depth stencil)."""
+    from quokka_tpu.problems.rad_marshak_asymptotic import RadMarshakAsymptoticProblem
+
+    cfg = """
+    geometry.prob_lo = 0.0 0.0 0.0
+    geometry.prob_hi = 0.66 1.0 1.0
+    amr.n_cell = 60 1 1
+    radiation.cfl = 0.8
+    radiation.wavespeed_correction = 1
+    stop_time = 10.0e-9
+    max_timesteps = 15
+    verbose = 0
+    """
+
+    def run(decomp):
+        sim = Simulation(
+            RadMarshakAsymptoticProblem(), ParmParse.from_string(cfg), decomp=decomp
+        )
+        sim.set_initial_conditions()
+        sim.evolve()
+        return np.asarray(sim.U), sim.istep
+
+    U1, n1 = run(None)
+    assert n1 > 0
+    decomp = make_decomposition((60, 1, 1), devices=jax.devices()[:4], tiles=(4, 1, 1))
+    U4, n4 = run(decomp)
+    assert n1 == n4
+    np.testing.assert_allclose(U4, U1, rtol=5e-12, atol=0)
