@@ -322,9 +322,11 @@ class RadiationAdvance:
 
     def n_substeps(self, dt_hydro: float) -> int:
         """ceil(dt_hydro / (CFL_rad dx_min / c_hat)), clamped to
-        max_substeps+1 (reference computeNumberOfRadiationSubsteps)."""
+        max_substeps+1 (reference computeNumberOfRadiationSubsteps). This
+        applies to radiation-only problems too: their coarse dt comes from
+        the global `cfl`, and the radiation CFL subdivides it."""
         sim = self.sim
-        if not sim.layout.hydro_enabled or sim.constant_dt > 0.0:
+        if sim.constant_dt > 0.0:
             return 1
         dt_rad = self.opts.cfl * sim.grid.dx_min / self.opts.chat
         n = max(1, int(math.ceil(dt_hydro / dt_rad)))

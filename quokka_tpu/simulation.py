@@ -361,14 +361,17 @@ class Simulation:
             dt = self.constant_dt
         else:
             if not self.layout.hydro_enabled and self.layout.radiation_enabled:
-                # radiation-only: signal speed is the reduced speed of light
-                # (reference computeMaxSignalLocal, QuokkaSimulation.hpp:408-430)
+                # radiation-only: signal speed is the reduced speed of light,
+                # and the coarse step is limited by the GLOBAL `cfl` (the
+                # reference's cflNumber_, default 0.3) -- radiationCflNumber_
+                # only sets the subcycle count (reference
+                # computeMaxSignalLocal QuokkaSimulation.hpp:408-430 +
+                # computeNumberOfRadiationSubsteps :397-406)
                 smax = self.problem.rad.c_hat
             else:
                 smax = float(self._max_signal_jit(self.U))
             dt = self.cfl * self.grid.dx_min / smax
-            if self.layout.hydro_enabled and self.layout.radiation_enabled \
-                    and self._radiation is not None:
+            if self.layout.radiation_enabled and self._radiation is not None:
                 # radhydro: cap dt so the radiation subcycle count stays
                 # within max_substeps (reference ``:424-434``); the count is
                 # taken at the RADIATION cfl, so the cap must use it too

@@ -23,12 +23,14 @@ verbose = 0
 
 
 def test_sawtooth_advection():
-    sim = AdvectionSimulation(SawtoothAdvection(), ParmParse.from_string(CFG))
+    # the reference caps max_dt = 1e-4 (test_advection.cpp:126), i.e. it
+    # takes 10^4 fixed steps, not CFL-limited ones; measured 0.00912 here
+    pp = ParmParse.from_string(CFG)
+    pp.set("max_dt", 1.0e-4)
+    sim = AdvectionSimulation(SawtoothAdvection(), pp)
     sim.set_initial_conditions()
     sim.evolve()
-    # measured 0.0162; reference tolerance is 0.015 -- near-parity, small
-    # residual gap tracked as a known deviation
-    assert sim.error_norm < 0.018
+    assert sim.error_norm < 0.015
 
 
 def test_semiellipse_advection():

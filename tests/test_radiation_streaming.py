@@ -12,15 +12,17 @@ from quokka_tpu.problems.rad_streaming import CHAT, RadStreamingProblem
 
 
 def test_rad_streaming_front():
-    # NOTE: the reference meets tol=0.01 at CFL 0.8; our PD-ARS front is
-    # ~2x more smeared at 0.8 (rel err 0.022) and meets the tolerance at
-    # CFL 0.4. Tracked as a known deviation to chase in the transport
-    # stage (suspect: front-region time-integration diffusion).
+    # faithful reference deck: radiationCflNumber_ = 0.8 but cflNumber_ is
+    # left at its 0.3 default, and for radiation-only problems the COARSE dt
+    # comes from cflNumber_ * dx / chat (QuokkaSimulation.hpp:408-430) while
+    # the radiation CFL only sets the subcycle count (= 1 here). Measured
+    # rel err 0.0071 at this operating point.
     pp = ParmParse.from_string(
         """
         geometry.prob_lo = 0. 0. 0.
         geometry.prob_hi = 1. 1. 1.
         amr.n_cell = 1000 1 1
+        radiation.cfl = 0.8
         max_dt = 1e-2
         stop_time = 1.0
         max_timesteps = 5000
@@ -29,8 +31,6 @@ def test_rad_streaming_front():
     )
     prob = RadStreamingProblem()
     sim = Simulation(prob, pp)
-    # radiation-only problems use cfl for the chat-based timestep
-    sim.cfl = 0.4
     sim.set_initial_conditions()
     sim.evolve()
 
