@@ -78,6 +78,11 @@ class AMRSimulation(Simulation):
     # ------------------------------------------------------------------ setup
     def set_initial_conditions(self):
         super().set_initial_conditions()
+        if self.pp.get_str("restartfile", ""):
+            # restart path: read_checkpoint restored level_U/level_mask/
+            # finest_level/init_sums already -- only level-0 bookkeeping here
+            self.level_mask[0] = jnp.ones(self.grid.n_cell, dtype=bool)
+            return
         self.level_U[0] = self.U
         self.level_mask[0] = jnp.ones(self.grid.n_cell, dtype=bool)
         # build initial fine levels from tagging on the initial data
@@ -127,17 +132,29 @@ class AMRSimulation(Simulation):
 
         nh = self.layout.nvar_hydro
 
+        # Strang-split builtin sources run at every level, per substep, with
+        # that level's dt (reference addStrangSplitSourcesWithBuiltin is
+        # called inside advanceHydroAtLevel, QuokkaSimulation.hpp:1048)
+        strang = self._strang if self._strang_active else None
+
         if l == 0:
             def step(U, dt):
+                ok = jnp.asarray(True)
+                if strang is not None:
+                    U, ok1 = strang(U, 0.5 * dt)
+                    ok = jnp.logical_and(ok, ok1)
                 Uh_new, stats = hydro_advance.advance_hydro_rk2(
                     U[:nh], dt, opts, self._fill_level0, ng, periodic,
                     return_fluxes=True,
                 )
                 U_new = (jnp.concatenate([Uh_new, U[nh:]], axis=0)
                          if nh < U.shape[0] else Uh_new)
+                if strang is not None:
+                    U_new, ok2 = strang(U_new, 0.5 * dt)
+                    ok = jnp.logical_and(ok, ok2)
                 fluxes = stats.pop("fluxes")
                 smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
-                return U_new, fluxes, {"max_signal": smax, **stats}
+                return U_new, fluxes, {"max_signal": smax, "valid": ok, **stats}
         else:
             def step(U, mask, Uc_old, Uc_new, theta1, theta2, dt):
                 def fill1(Uf):
@@ -148,12 +165,19 @@ class AMRSimulation(Simulation):
                     Uc = (1.0 - theta2) * Uc_old + theta2 * Uc_new
                     return self._fill_fine(Uf, mask, Uc[:nh], l)
 
+                ok = jnp.asarray(True)
+                if strang is not None:
+                    U, ok1 = strang(U, 0.5 * dt)
+                    ok = jnp.logical_and(ok, ok1)
                 Uh_new, stats = hydro_advance.advance_hydro_rk2(
                     U[:nh], dt, opts, fill1, ng, periodic,
                     fill_fn2=fill2, return_fluxes=True,
                 )
                 U_new = (jnp.concatenate([Uh_new, U[nh:]], axis=0)
                          if nh < U.shape[0] else Uh_new)
+                if strang is not None:
+                    U_new, ok2 = strang(U_new, 0.5 * dt)
+                    ok = jnp.logical_and(ok, ok2)
                 fluxes = stats.pop("fluxes")
                 # inactive cells are defined to carry prolonged coarse data;
                 # re-impose it at the substep's end time so evolved garbage
@@ -171,7 +195,7 @@ class AMRSimulation(Simulation):
                 smax = jnp.max(
                     jnp.where(mask, euler.max_signal_speed(U_new, opts.eos), 0.0)
                 )
-                return U_new, fluxes_cr, {"max_signal": smax, **stats}
+                return U_new, fluxes_cr, {"max_signal": smax, "valid": ok, **stats}
 
         jitted = jax.jit(step)
         self._level_step_jits[l] = jitted
@@ -315,7 +339,16 @@ class AMRSimulation(Simulation):
             nsub = 2**retry
             ok = True
             for i in range(nsub):
+                self._substep_valid_flags = []
                 self._timestep_with_subcycling(0, self.t + i * dt / nsub, dt / nsub)
+                # strang-source failures (burn/cooling non-convergence)
+                # collected on-device across all levels/substeps, one host
+                # sync per coarse substep (reference burn_success contract)
+                if self._substep_valid_flags and not bool(
+                    jnp.all(jnp.stack(self._substep_valid_flags))
+                ):
+                    ok = False
+                    break
                 for l in range(self.finest_level + 1):
                     if not bool(jnp.all(jnp.isfinite(self.level_U[l]))):
                         ok = False
@@ -355,6 +388,8 @@ class AMRSimulation(Simulation):
                 jnp.asarray(theta1, U_old.dtype), jnp.asarray(theta2, U_old.dtype),
                 dt_l,
             )
+        if "valid" in _stats and hasattr(self, "_substep_valid_flags"):
+            self._substep_valid_flags.append(_stats["valid"])
 
         # radiation subcycle at this level (reference order: hydro then
         # radiation at each level, QuokkaSimulation::advanceSingleTimestepAtLevel)

@@ -79,6 +79,15 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
             v=np.asarray(sim.particles.v),
             mass=np.asarray(sim.particles.mass),
         )
+    if getattr(sim, "tracers", None) is not None:
+        pdir = os.path.join(path, "Particles")
+        os.makedirs(pdir, exist_ok=True)
+        np.savez(
+            os.path.join(pdir, "tracers.npz"),
+            x=np.asarray(sim.tracers.x),
+            v=np.asarray(sim.tracers.v),
+            mass=np.asarray(sim.tracers.mass),
+        )
 
     # the symlink must only ever point at a complete checkpoint: wait for
     # the queued array writes (they still overlap each other and the
@@ -107,6 +116,13 @@ def read_checkpoint(sim, path: str):
             f"checkpoint grid {header['n_cell']} != simulation grid {sim.grid.n_cell}"
         )
     sim.U = jnp.asarray(U, dtype=sim.dtype)
+    if getattr(sim, "decomp", None) is not None:
+        # restore the block sharding explicitly (restart must not silently
+        # change the device layout; reference restarts re-balance grids,
+        # src/simulation.hpp:2738-2753)
+        import jax
+
+        sim.U = jax.device_put(sim.U, sim.decomp.state_sharding())
     sim.t = float(header["time"])
     sim.istep = int(header["istep"])
     sim.dt_prev = float(header["dt_prev"])
@@ -135,4 +151,16 @@ def read_checkpoint(sim, path: str):
         sim.particles = ParticleData(
             jnp.asarray(d["x"]), jnp.asarray(d["v"]), jnp.asarray(d["mass"])
         )
+    tfile = os.path.join(path, "Particles", "tracers.npz")
+    if os.path.exists(tfile):
+        from ..particles.cic import ParticleData
+
+        d = np.load(tfile)
+        sim.tracers = ParticleData(
+            jnp.asarray(d["x"]), jnp.asarray(d["v"]), jnp.asarray(d["mass"])
+        )
+    # gravity potential is a pure function of (U, particles): re-solve so the
+    # pre-step particle kick sees the same phi an uninterrupted run would
+    if getattr(sim, "gravity_enabled", False) and hasattr(sim, "_solve_phi_jit"):
+        sim.phi = sim._solve_phi_jit(sim.U, sim._particle_rhs())
     return header

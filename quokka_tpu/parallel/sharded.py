@@ -62,8 +62,10 @@ def build_sharded_step(
         return n > 0
 
     def local_step(U_local, dt):
+        ok_strang = jnp.asarray(True)
         if strang is not None:
-            U_local = strang(U_local, 0.5 * dt)
+            U_local, ok1 = strang(U_local, 0.5 * dt)
+            ok_strang = jnp.logical_and(ok_strang, ok1)
         Uh_new, st = hydro_advance.advance_hydro_rk2(
             U_local[:nh], dt, opts, fill, ng, periodic, mask_fill,
             redo_any_fn=redo_any,
@@ -73,9 +75,11 @@ def build_sharded_step(
         else:
             U_new = Uh_new
         if strang is not None:
-            U_new = strang(U_new, 0.5 * dt)
+            U_new, ok2 = strang(U_new, 0.5 * dt)
+            ok_strang = jnp.logical_and(ok_strang, ok2)
         smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
         valid = jnp.all(euler.is_state_valid(U_new, opts.eos))
+        valid = jnp.logical_and(valid, ok_strang)
         n_fofc = st["n_fofc"]
         if red_axes:
             smax = lax.pmax(smax, red_axes)

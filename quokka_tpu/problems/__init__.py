@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     kelvin_helmholtz,
     leblanc,
     nscbc_channel,
+    primordial_chem,
     rad_beam,
     rad_dust,
     rad_force,

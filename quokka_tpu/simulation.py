@@ -172,21 +172,82 @@ class Simulation:
         # hydro update; per-cell pointwise, so it runs unchanged inside
         # shard_map on the multi-chip path
         cooling_on = bool(self.pp.get_int("cooling.enabled", 0))
+        # cooling.cooling_table_type (reference QuokkaSimulation.hpp:524-531):
+        #   "" (problem-provided Lambda(T) curve), "grackle", or
+        #   "cloudy_cooling_tools" (real table files via cooling.table_file)
+        cooling_type = self.pp.get_str("cooling.cooling_table_type", "")
+        cooling_tables2d = getattr(self.problem, "cooling_tables2d", None)
+        if cooling_on and cooling_type:
+            from .microphysics import tables as _ctab
+
+            if cooling_tables2d is None:
+                tfile = self.pp.get_str("cooling.table_file", "")
+                if not tfile:
+                    raise ValueError(
+                        "cooling.cooling_table_type set but no cooling.table_file "
+                        "given and the problem provides no cooling_tables2d"
+                    )
+                if cooling_type == "grackle":
+                    cooling_tables2d = _ctab.read_grackle_tables(tfile)
+                elif cooling_type == "cloudy_cooling_tools":
+                    cooling_tables2d = _ctab.read_cloudy_tables(tfile)
+                else:
+                    raise ValueError(
+                        f"invalid cooling.cooling_table_type '{cooling_type}'"
+                    )
         cooling_table = getattr(self.problem, "cooling_table", None)
-        if cooling_on and cooling_table is None:
+        if cooling_on and cooling_table is None and cooling_tables2d is None:
             raise ValueError("cooling.enabled=1 but problem defines no cooling_table")
         T_floor_cool = self.pp.get_float("cooling.T_floor", 2.73)
 
+        # chemistry (reference: chemistry.enabled + computeChemistry inside
+        # addStrangSplitSourcesWithBuiltin, QuokkaSimulation.hpp:520-563)
+        chem_on = bool(self.pp.get_int("chemistry.enabled", 0))
+        chem_network = getattr(self.problem, "chemistry_network", None)
+        if chem_on and chem_network is None:
+            raise ValueError("chemistry.enabled=1 but problem defines no chemistry_network")
+        if chem_on and self.problem.physics.n_mscalars < getattr(chem_network, "n_species", 0):
+            raise ValueError(
+                "chemistry needs n_mscalars >= network.n_species "
+                f"({self.problem.physics.n_mscalars} < {chem_network.n_species})"
+            )
+        chem_min_density = self.pp.get_float("chemistry.min_density_allowed", 0.0)
+        self.chem_enabled = chem_on
+
         def strang(U, half_dt):
-            if cooling_on:
+            """Strang-split builtin sources; returns (U, ok) where ok feeds
+            the retry ladder (reference burn_success contract)."""
+            ok = jnp.asarray(True)
+            if cooling_on and cooling_tables2d is not None:
+                from .microphysics.tables import strang_cooling_step_tabulated
+
+                U, ok_c = strang_cooling_step_tabulated(
+                    U, half_dt, self.problem.eos_traits.gamma, cooling_tables2d,
+                    T_floor=T_floor_cool,
+                )
+                ok = jnp.logical_and(ok, ok_c)
+            elif cooling_on:
                 from .microphysics.cooling import strang_cooling_step
 
-                U, _ok = strang_cooling_step(
+                U, ok_c = strang_cooling_step(
                     U, half_dt, self.eos, cooling_table,
                     mean_mol_weight=self.problem.eos_traits.mean_molecular_weight,
                     T_floor=T_floor_cool,
                 )
-            return U
+                ok = jnp.logical_and(ok, ok_c)
+            if chem_on:
+                from .microphysics.chem_coupling import ChemEOS, strang_chemistry_step
+
+                U, ok_b = strang_chemistry_step(
+                    U, half_dt, chem_network, ChemEOS(network=chem_network),
+                    n_mscalars=chem_network.n_species,
+                    min_density=chem_min_density,
+                )
+                ok = jnp.logical_and(ok, ok_b)
+            return U, ok
+
+        self._strang = strang
+        self._strang_active = cooling_on or chem_on
 
         if self.decomp is not None:
             from .parallel.sharded import build_sharded_step
@@ -219,7 +280,7 @@ class Simulation:
                 fill_h = self._fill
 
             def step(U, dt):
-                U = strang(U, 0.5 * dt)
+                U, ok1 = strang(U, 0.5 * dt)
                 Uh = U[:nh]
                 Uh_new, stats = hydro_advance.advance_hydro_rk2(
                     Uh, dt, opts, fill_h, ng, periodic
@@ -228,11 +289,13 @@ class Simulation:
                     U_new = jnp.concatenate([Uh_new, U[nh:]], axis=0)
                 else:
                     U_new = Uh_new
-                U_new = strang(U_new, 0.5 * dt)
+                U_new, ok2 = strang(U_new, 0.5 * dt)
                 # post-step CFL / validity diagnostics (reference isCflViolated,
-                # src/QuokkaSimulation.hpp:992-1013)
+                # src/QuokkaSimulation.hpp:992-1013); a failed Strang burn also
+                # triggers the retry ladder (reference burn_success contract)
                 smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
                 all_valid = jnp.all(euler.is_state_valid(U_new, opts.eos))
+                all_valid = jnp.logical_and(all_valid, jnp.logical_and(ok1, ok2))
                 return U_new, {"max_signal": smax, "valid": all_valid, **stats}
 
             self._step_jit = jax.jit(step)
@@ -241,6 +304,46 @@ class Simulation:
             return jnp.max(euler.max_signal_speed(U, self.eos))
 
         self._max_signal_jit = jax.jit(max_signal)
+
+        # ---- fused multi-step window: runs K coarse steps in ONE device
+        # program (timestep computation + step + validity check all
+        # on-device), so the host syncs once per window instead of once per
+        # step.  This is the production-loop analog of the async benchmark
+        # loop: the per-step host round-trip (stats["valid"]/max_signal
+        # pulls) otherwise serializes dispatch on TPU.  On failure anywhere
+        # in the window the host rolls back and replays the window step by
+        # step through the retry ladder.
+        step_fn = self._step_jit
+        eos = self.eos
+        cfl = self.cfl
+        dx_min = self.grid.dx_min
+        max_dt = self.max_dt
+
+        @partial(jax.jit, static_argnums=2)
+        def fused_window(U, dt_prev, K):
+            from jax import lax
+
+            def body(carry, _):
+                U, dt_prev, ok = carry
+                smax = jnp.max(euler.max_signal_speed(U, eos))
+                dt = jnp.minimum(cfl * dx_min / smax,
+                                 jnp.minimum(1.1 * dt_prev, max_dt))
+                U2, stats = step_fn(U, dt)
+                dt_cfl = cfl * dx_min / stats["max_signal"]
+                ok_step = jnp.logical_and(stats["valid"], dt <= 1.1 * dt_cfl)
+                # once a step fails, freeze the carry; the host discards the
+                # whole window and replays it through the retry ladder
+                U2 = jnp.where(ok, U2, U)
+                dt_prev_new = jnp.where(ok, dt, dt_prev)
+                return (U2, dt_prev_new, jnp.logical_and(ok, ok_step)), \
+                    jnp.where(ok, dt, 0.0)
+
+            (Uf, dtp, ok), dts = lax.scan(
+                body, (U, dt_prev, jnp.asarray(True)), None, length=K
+            )
+            return Uf, dtp, ok, dts
+
+        self._fused_window_jit = fused_window
 
         def sums(U):
             return jnp.sum(U, axis=(1, 2, 3)) * self.grid.cell_volume()
@@ -273,6 +376,20 @@ class Simulation:
             self._attach_radiation()
         if self.gravity_enabled:
             self._setup_gravity()
+
+        # restart from a checkpoint (reference: `restartfile=` ParmParse key,
+        # src/simulation.hpp:638-660 + ReadCheckpointFile :2676) -- derived
+        # structures are built from the deck as usual, then the dynamic state
+        # is replaced wholesale by the checkpoint contents
+        restart = self.pp.get_str("restartfile", "")
+        if restart:
+            import os as _os
+
+            from .io.checkpoint import read_checkpoint
+
+            if _os.path.islink(restart):
+                restart = _os.path.join(_os.path.dirname(restart), _os.readlink(restart))
+            read_checkpoint(self, restart)
 
         # static external acceleration (problem hook): operator-split kick
         g_ext = self.problem.external_acceleration(self.grid)
@@ -473,6 +590,46 @@ class Simulation:
                   "to the XLA formulation (~3x slower; set precision=single "
                   "if f32 suffices)")
 
+    def _fused_eligible(self) -> bool:
+        """The fused multi-step window reproduces the per-step loop exactly
+        only when nothing host-side happens between steps."""
+        base_hook = type(self.problem).compute_before_timestep is Problem.compute_before_timestep
+        return (
+            self.layout.hydro_enabled
+            and getattr(self, "max_level", 0) == 0
+            and self._radiation is None
+            and not self.gravity_enabled
+            and getattr(self, "_g_ext", None) is None
+            and self.tracers is None
+            and not self.check_states
+            and not self.pp.contains("quokka.diagnostics")
+            and self.constant_dt <= 0.0
+            and base_hook
+            and bool(self.pp.get_int("fused_windows", 1))
+        )
+
+    def _fused_window_size(self) -> int:
+        """Steps until the next host-side event (output interval boundary,
+        max_timesteps, or stop_time proximity); 0 disables the fused path
+        for this step."""
+        K = self.pp.get_int("fused_window", 16)
+        K = min(K, self.max_timesteps - self.istep)
+        for iv in (self.plotfile_interval, self.checkpoint_interval,
+                   self.projection_interval, self.statistics_interval):
+            if iv > 0:
+                K = min(K, iv - (self.istep % iv))
+        if K < 2 or self.t == 0.0 or not np.isfinite(self.dt_prev):
+            return 0
+        # worst-case window duration: dt may grow 1.1x per step
+        remaining = self.stop_time - self.t
+        while K >= 2:
+            growth = 1.1 * (1.1 ** K - 1.0) / 0.1  # sum_{i=1..K} 1.1^i
+            worst = min(K * self.max_dt, self.dt_prev * growth)
+            if worst < remaining * (1.0 - 1e-9):
+                return K
+            K -= 1
+        return 0
+
     def evolve(self):
         if self.U is None:
             self.set_initial_conditions()
@@ -481,8 +638,32 @@ class Simulation:
 
         start_walltime = _time.perf_counter()
         ncells = self.grid.num_cells
+        fused_ok = self._fused_eligible()
 
         while self.t < self.stop_time * (1.0 - 1e-14) and self.istep < self.max_timesteps:
+            if fused_ok:
+                K = self._fused_window_size()
+                if K >= 2:
+                    U_new, dtp, ok, dts = self._fused_window_jit(
+                        self.U, jnp.asarray(self.dt_prev, self.dtype), K
+                    )
+                    if bool(ok):
+                        self.U = U_new
+                        for d in np.asarray(dts):
+                            self.t += float(d)
+                        self.dt_prev = float(dtp)
+                        self.istep += K
+                        self.cell_updates += K * ncells
+                        if self.verbose:
+                            print(f"Coarse STEPS {self.istep - K + 1}..{self.istep} "
+                                  f"(fused window) t = {self.t:.6e}")
+                        self._maybe_write_outputs()
+                        if self._walltime_exceeded(start_walltime):
+                            break
+                        continue
+                    # failure inside the window: fall through and replay
+                    # step-by-step below (U was not modified)
+
             self.problem.compute_before_timestep(self)
             dt = self.compute_timestep()
             if dt <= 0.0:
@@ -516,36 +697,13 @@ class Simulation:
             self.istep += 1
             self.cell_updates += ncells
 
-            if self.plotfile_interval > 0 and self.istep % self.plotfile_interval == 0:
-                self.write_plotfile()
-            if self.projection_interval > 0 and self.istep % self.projection_interval == 0:
-                from .io.diagnostics import write_projection
-
-                write_projection(self, self.projection_dirs or ("z",))
-            if self.statistics_interval > 0 and self.istep % self.statistics_interval == 0:
-                from .io.diagnostics import write_statistics
-
-                write_statistics(self)
-            if self.pp.contains("quokka.diagnostics"):
-                from .io.diagnostics import run_configured_diagnostics
-
-                run_configured_diagnostics(self)
-            # NB: checkpoint written after plotfile (reference issue #554 ordering)
-            if self.checkpoint_interval > 0 and self.istep % self.checkpoint_interval == 0:
-                self.write_checkpoint()
-
-            # graceful walltime-bounded stop at 90% + final checkpoint
-            # (reference src/simulation.hpp:948-951, 998-1003)
-            if self.max_walltime is not None:
-                elapsed_wt = _time.perf_counter() - start_walltime
-                if elapsed_wt > 0.9 * self.max_walltime:
-                    if self.verbose:
-                        print("Reached 90% of max_walltime; writing checkpoint and stopping.")
-                    self.write_checkpoint()
-                    break
+            self._maybe_write_outputs()
+            if self._walltime_exceeded(start_walltime):
+                break
 
         jax.block_until_ready(self.U)
         elapsed = _time.perf_counter() - start_walltime
+        self.elapsed_walltime = elapsed
 
         # performance FOM (reference src/simulation.hpp:972-980)
         if elapsed > 0 and self.cell_updates > 0:
@@ -559,6 +717,37 @@ class Simulation:
         self._conservation_audit()
         self._compute_error_norm()
         self.problem.compute_after_evolve(self)
+
+    def _maybe_write_outputs(self):
+        if self.plotfile_interval > 0 and self.istep % self.plotfile_interval == 0:
+            self.write_plotfile()
+        if self.projection_interval > 0 and self.istep % self.projection_interval == 0:
+            from .io.diagnostics import write_projection
+
+            write_projection(self, self.projection_dirs or ("z",))
+        if self.statistics_interval > 0 and self.istep % self.statistics_interval == 0:
+            from .io.diagnostics import write_statistics
+
+            write_statistics(self)
+        if self.pp.contains("quokka.diagnostics"):
+            from .io.diagnostics import run_configured_diagnostics
+
+            run_configured_diagnostics(self)
+        # NB: checkpoint written after plotfile (reference issue #554 ordering)
+        if self.checkpoint_interval > 0 and self.istep % self.checkpoint_interval == 0:
+            self.write_checkpoint()
+
+    def _walltime_exceeded(self, start_walltime: float) -> bool:
+        """Graceful walltime-bounded stop at 90% + final checkpoint
+        (reference src/simulation.hpp:948-951, 998-1003)."""
+        if self.max_walltime is None:
+            return False
+        if _time.perf_counter() - start_walltime > 0.9 * self.max_walltime:
+            if self.verbose:
+                print("Reached 90% of max_walltime; writing checkpoint and stopping.")
+            self.write_checkpoint()
+            return True
+        return False
 
     # ------------------------------------------------------------- diagnostics
     def _conservation_audit(self):

@@ -1,0 +1,159 @@
+"""Grackle-format and Cloudy-format cooling-table readers + evaluation.
+
+Mirrors the reference's table-driven cooling stack
+(``src/cooling/GrackleDataReader.cpp`` / ``CloudyDataReader.cpp`` /
+``GrackleLikeCooling.hpp`` / ``TabulatedCooling.hpp``): read real-format
+HDF5 files, interpolate net cooling in (log nH, log T), invert T(Egas)
+through the mu(nH,T) table, and integrate the Strang cooling step to a
+known equilibrium.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.microphysics import tables as ct
+
+GAMMA = 5.0 / 3.0
+
+
+@pytest.fixture(scope="module")
+def grackle_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tables") / "grackle.h5")
+    nH, T, lam = ct.write_synthetic_grackle_file(path)
+    return path, nH, T, lam
+
+
+@pytest.fixture(scope="module")
+def cloudy_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tables") / "cloudy.h5")
+    nH, T, lam = ct.write_synthetic_cloudy_file(path)
+    return path, nH, T, lam
+
+
+def test_grackle_reader_roundtrip(grackle_file):
+    path, nH, T, lam = grackle_file
+    tab = ct.read_grackle_tables(path)
+    assert tab.log_nH.shape == (len(nH),)
+    assert tab.log_T.shape == (len(T),)
+    np.testing.assert_allclose(np.asarray(tab.log_nH), np.log10(nH), rtol=1e-12)
+    # primordial + metal cooling combine: 1.1x the primordial curve
+    lam_total = 1.1 * lam
+    got = 10.0 ** np.asarray(tab.log_cool[0]) * ct.MH_GRACKLE**2
+    np.testing.assert_allclose(got, lam_total, rtol=1e-10)
+
+
+def test_cloudy_reader_roundtrip(cloudy_file):
+    path, nH, T, lam = cloudy_file
+    tab = ct.read_cloudy_tables(path)
+    got = 10.0 ** np.asarray(tab.log_cool[0]) * ct.MH_GRACKLE**2
+    np.testing.assert_allclose(got, lam, rtol=1e-10)
+
+
+def test_cooling_rate_matches_analytic(grackle_file):
+    """Interpolated Edot must reproduce the analytic curve the synthetic
+    table was built from (away from table nodes -> exercises bilinear)."""
+    path, _, _, _ = grackle_file
+    tab = ct.read_grackle_tables(path)
+    rho = 1.0e-24  # g/cm^3
+    T = 3.17e5  # off-node
+    rhoH = rho * ct.CLOUDY_H_MASS_FRACTION
+    lam_c = 1.1 * 1.0e-22 * (T / 1.0e5) ** 0.5 / (1.0 + (T / 1.0e6) ** 2)
+    lam_h = 1.1 * 1.0e-26
+    expected_net = (rhoH / ct.MH_GRACKLE) ** 2 * (lam_h - lam_c)
+    got = float(ct.cooling_rate(jnp.asarray(rho), jnp.asarray(T), tab))
+    # PE heating + Compton are small corrections at this density/T but not
+    # zero; the table term must dominate and match to ~bilinear accuracy
+    assert got == pytest.approx(expected_net, rel=0.05)
+
+
+def test_tgas_egas_roundtrip(grackle_file):
+    path, _, _, _ = grackle_file
+    tab = ct.read_grackle_tables(path)
+    rho = jnp.asarray([1e-26, 1e-24, 1e-22])
+    T0 = jnp.asarray([50.0, 1.0e4, 2.0e6])
+    E = ct.egas_from_tgas(rho, T0, GAMMA, tab)
+    T1 = ct.tgas_from_egas(rho, E, GAMMA, tab)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T0), rtol=1e-6)
+
+
+def test_strang_step_reaches_equilibrium(grackle_file):
+    """Integrate a hot low-density cell long enough: T must approach the
+    equilibrium where table heating balances cooling."""
+    path, _, _, _ = grackle_file
+    tab = ct.read_grackle_tables(path)
+    rho = 1.0e-26
+    T0 = 1.0e4
+    shape = (4, 1, 1)
+    U = jnp.zeros((6, *shape), dtype=jnp.float64)
+    U = U.at[0].set(rho)
+    eint0 = ct.egas_from_tgas(jnp.full(shape, rho), jnp.full(shape, T0), GAMMA, tab)
+    U = U.at[4].set(eint0).at[5].set(eint0)
+
+    # equilibrium: heat == cool  ->  1e-26 == 1e-22 (T/1e5)^0.5/(1+(T/1e6)^2)
+    # -> T_eq ~ 1e-3 K is below table; with PE heating the true balance sits
+    # higher -- just require monotone cooling toward the floor
+    t_cool_scale = 3.0e13
+    U1, ok = ct.strang_cooling_step_tabulated(U, t_cool_scale, GAMMA, tab,
+                                              T_floor=10.0)
+    assert bool(ok)
+    T1 = ct.tgas_from_egas(jnp.full(shape, rho), U1[4], GAMMA, tab)
+    assert float(T1[0, 0, 0]) < 0.9 * T0  # cooled
+    assert float(T1[0, 0, 0]) >= 10.0 * 0.99  # respects floor
+
+
+def test_solver_integration_table_type(grackle_file, cloudy_file):
+    """cooling.cooling_table_type wires the table files into evolve()
+    (reference QuokkaSimulation.hpp:524-531 dispatch)."""
+    from quokka_tpu.registry import EOSTraits, PhysicsTraits, Problem
+
+    gpath = grackle_file[0]
+
+    class CoolBox(Problem):
+        name = "CoolBoxTables"
+        physics = PhysicsTraits(hydro_enabled=True)
+        eos_traits = EOSTraits(gamma=GAMMA)
+
+        def set_initial_conditions(self, grid):
+            shape = grid.n_cell
+            rho = 1.0e-24
+            tab = ct.read_grackle_tables(gpath)
+            eint = ct.egas_from_tgas(jnp.full(shape, rho),
+                                     jnp.full(shape, 1.0e6), GAMMA, tab)
+            zeros = jnp.zeros(shape)
+            return jnp.stack([jnp.full(shape, rho), zeros, zeros, zeros,
+                              eint, eint])
+
+    for ttype, tfile in (("grackle", grackle_file[0]),
+                         ("cloudy_cooling_tools", cloudy_file[0])):
+        pp = ParmParse.from_string(f"""
+amr.n_cell = 4 1 1
+geometry.prob_hi = 3.0e18 1.0 1.0
+cfl = 0.3
+stop_time = 1.0e11
+max_timesteps = 3
+cooling.enabled = 1
+cooling.cooling_table_type = {ttype}
+cooling.table_file = {tfile}
+verbose = 0
+""")
+        sim = Simulation(CoolBox(), pp)
+        sim.set_initial_conditions()
+        E0 = float(jnp.sum(sim.U[4]))
+        sim.evolve()
+        E1 = float(jnp.sum(sim.U[4]))
+        assert np.isfinite(E1)
+        assert E1 < E0  # net cooling at 1e6 K
+
+    # misconfiguration: type without file -> clear error
+    pp_bad = ParmParse.from_string("""
+amr.n_cell = 4 1 1
+cfl = 0.3
+stop_time = 1.0
+cooling.enabled = 1
+cooling.cooling_table_type = grackle
+verbose = 0
+""")
+    with pytest.raises(ValueError, match="cooling.table_file"):
+        Simulation(CoolBox(), pp_bad)

