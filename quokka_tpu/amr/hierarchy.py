@@ -55,6 +55,15 @@ class AMRSimulation(Simulation):
         self.n_error_buf = self.pp.get_int("amr.n_error_buf", 3)
         self.regrid_interval = self.pp.get_int("regrid_interval", 2)
         self.do_reflux = bool(self.pp.get_int("do_reflux", 1))
+        # do_subcycle=0: all levels advance with the global (finest-limited)
+        # timestep -- required for self-gravity, exactly as in the reference
+        # (``src/simulation.hpp:1015-1017`` aborts on gravity + subcycling)
+        self.do_subcycle = bool(self.pp.get_int("do_subcycle", 1))
+        if self.gravity_enabled and self.max_level > 0 and self.do_subcycle:
+            raise ValueError(
+                "Poisson gravity is not supported with AMR subcycling; "
+                "set do_subcycle = 0 (reference src/simulation.hpp:1015-1017)"
+            )
 
         # per-level geometry and solver options
         self.level_grids: List[Grid] = [self.grid]
@@ -76,20 +85,45 @@ class AMRSimulation(Simulation):
         self._level_rad: Dict[int, object] = {}
 
     # ------------------------------------------------------------------ setup
+    def _shard_level(self, l: int):
+        """Pin level l's state + mask to the block decomposition (the AMR
+        analog of the reference's per-level DistributionMapping,
+        ``src/simulation.hpp:1421-1508``).  All levels share the same device
+        mesh: each device owns the same spatial subdomain at every
+        resolution, so prolongation/restriction/refluxing are shard-local
+        and only the ghost fills communicate."""
+        if self.decomp is None:
+            return
+        if self.level_U[l] is not None:
+            self.level_U[l] = jax.device_put(
+                self.level_U[l], self.decomp.state_sharding())
+        if self.level_mask[l] is not None:
+            self.level_mask[l] = jax.device_put(
+                self.level_mask[l], self.decomp.mask_sharding())
+
     def set_initial_conditions(self):
         super().set_initial_conditions()
         if self.pp.get_str("restartfile", ""):
             # restart path: read_checkpoint restored level_U/level_mask/
             # finest_level/init_sums already -- only level-0 bookkeeping here
             self.level_mask[0] = jnp.ones(self.grid.n_cell, dtype=bool)
+            for l in range(self.finest_level + 1):
+                self._shard_level(l)
+            if self.gravity_enabled and self.max_level > 0:
+                self._gravity_solve_hierarchy()
             return
         self.level_U[0] = self.U
         self.level_mask[0] = jnp.ones(self.grid.n_cell, dtype=bool)
+        self._shard_level(0)
         # build initial fine levels from tagging on the initial data
         for l in range(self.max_level):
             if not self._regrid_level(l):
                 break
         self.init_sums = np.asarray(self._composite_sums())
+        # initial composite potential (reference calculateGpotAllLevels at
+        # setInitialConditions, src/simulation.hpp:660)
+        if self.gravity_enabled and self.max_level > 0:
+            self._gravity_solve_hierarchy()
 
     # --------------------------------------------------------- jitted kernels
     @property
@@ -254,6 +288,123 @@ class AMRSimulation(Simulation):
             opts.n_scalars,
         )
 
+    # ---------------------------------------------------------------- gravity
+    def _setup_gravity(self):
+        """Hierarchy gravity (reference `calculateGpotAllLevels`,
+        ``src/simulation.hpp:1011-1096``).  TPU-first formulation: every
+        level in the dense-mask hierarchy is a FULL-DOMAIN field (carrying
+        prolonged coarse data where unrefined), so the finest level already
+        IS the composite density field -- one FFT Poisson solve at the
+        finest resolution replaces the reference's multi-level OpenBCSolver,
+        and each coarser level is kicked with the conservatively restricted
+        potential."""
+        if self.max_level == 0:
+            super()._setup_gravity()
+            return
+        self.particles = self.problem.create_initial_particles(self.grid)
+        self._greens_level: Dict[int, jnp.ndarray] = {}
+        self._grav_solve_jits: Dict[int, Callable] = {}
+        self.phi = None
+        self._phi_level = 0
+
+    def _gravity_greens(self, l: int):
+        if l not in self._greens_level:
+            from ..gravity import poisson as pg
+
+            g = self.level_grids[l]
+            Gk = pg.greens_function_kernel(g.n_cell, g.dx, self.dtype)
+            self._greens_level[l] = jnp.fft.rfftn(Gk)
+        return self._greens_level[l]
+
+    def _get_grav_solve(self, lf: int):
+        """Jitted: (rho_finest, particle_rhs) -> phi at the finest level."""
+        if lf in self._grav_solve_jits:
+            return self._grav_solve_jits[lf]
+        from ..gravity import poisson as pg
+
+        gf = self.level_grids[lf]
+
+        # greens passed as an argument (a closure constant would be
+        # host-materialized at lowering; complex transfers are unimplemented
+        # on some TPU attachment backends)
+        if self.gravity_bc == "open":
+            def solve(rho, prhs, greens):
+                rhs = 4.0 * jnp.pi * self.Gconst * rho + prhs
+                return pg.solve_poisson_open(rhs, gf.dx, greens)
+
+            jitted = jax.jit(solve)
+            fn = lambda rho, prhs: jitted(rho, prhs, self._gravity_greens(lf))
+        else:
+            def solve(rho, prhs):
+                rhs = 4.0 * jnp.pi * self.Gconst * rho + prhs
+                return pg.solve_poisson_periodic(rhs, gf.dx)
+
+            fn = jax.jit(solve)
+        self._grav_solve_jits[lf] = fn
+        return fn
+
+    def _gravity_solve_hierarchy(self):
+        from ..particles import cic
+
+        lf = self.finest_level
+        gf = self.level_grids[lf]
+        if self.particles is not None:
+            prhs = cic.cic_deposit(self.particles, gf,
+                                   4.0 * jnp.pi * self.Gconst)
+        else:
+            prhs = jnp.zeros(gf.n_cell, dtype=self.dtype)
+        self.phi = self._get_grav_solve(lf)(self.level_U[lf][0], prhs)
+        self._phi_level = lf
+
+    def _particle_accel(self):
+        from ..gravity import poisson as pg
+        from ..particles import cic
+
+        if self.max_level == 0:
+            return super()._particle_accel()
+        gf = self.level_grids[self._phi_level]
+        g3 = pg.gravity_accel(self.phi, gf.dx)
+        return cic.cic_gather(g3, self.particles, gf)
+
+    def _gravity_before_step(self, dt: float):
+        if self.max_level == 0:
+            super()._gravity_before_step(dt)
+            return
+        from ..particles import cic
+
+        if self.particles is not None:
+            if self.phi is None:
+                self._gravity_solve_hierarchy()
+            self.particles = cic.kick(self.particles, self._particle_accel(),
+                                      0.5 * dt)
+
+    def _gravity_after_step(self, dt: float):
+        """Post-step composite solve + operator-split kick at every level
+        (reference `ellipticSolveAllLevels` -> `gravAccelAllLevels` +
+        `applyPoissonGravityAtLevel`, ``simulation.hpp:1071-1096``)."""
+        if self.max_level == 0:
+            super()._gravity_after_step(dt)
+            return
+        from ..gravity import poisson as pg
+        from ..particles import cic
+
+        lf_grid = self.level_grids[self.finest_level]
+        if self.particles is not None:
+            self.particles = cic.drift(self.particles, dt, lf_grid,
+                                       self.periodic)
+        self._gravity_solve_hierarchy()
+        phi_l = self.phi
+        for l in range(self._phi_level, -1, -1):
+            self.level_U[l] = pg.apply_gravity_kick(
+                self.level_U[l], phi_l, self.level_grids[l].dx, dt
+            )
+            if l > 0:
+                phi_l = ops.restrict(phi_l, self.grid.active_axes)
+        self.U = self.level_U[0]
+        if self.particles is not None:
+            self.particles = cic.kick(self.particles, self._particle_accel(),
+                                      0.5 * dt)
+
     # ---------------------------------------------------------------- regrid
     def _regrid_level(self, l: int) -> bool:
         """(Re)build level l+1 from error tags on level l. Returns True if
@@ -289,6 +440,7 @@ class AMRSimulation(Simulation):
         self.level_U[l + 1] = U_new
         self.level_mask[l + 1] = new_mask
         self.finest_level = max(self.finest_level, l + 1)
+        self._shard_level(l + 1)
         return True
 
     # ---------------------------------------------------------------- advance
@@ -299,6 +451,10 @@ class AMRSimulation(Simulation):
         # computeTimestep with default subcycling, src/simulation.hpp:722-818)
         dt0 = np.inf
         for l in range(self.finest_level + 1):
+            # subcycled: level l runs 2^l substeps per coarse step, so the
+            # coarse dt may be 2^l times the level-l CFL dt; global stepping
+            # (do_subcycle=0): every level advances with the same dt
+            fac = (2**l) if self.do_subcycle else 1
             opts = self.level_opts[l]
             sig = euler.max_signal_speed(self.level_U[l][: self.layout.nvar_hydro], opts.eos)
             if l > 0:
@@ -306,7 +462,7 @@ class AMRSimulation(Simulation):
             smax = float(jnp.max(sig))
             if smax > 0:
                 dt_l = self.cfl * self.level_grids[l].dx_min / smax
-                dt0 = min(dt0, (2**l) * dt_l)
+                dt0 = min(dt0, fac * dt_l)
             if self.layout.radiation_enabled and self._radiation is not None:
                 # cap dt so the per-level radiation subcycle count stays
                 # within max_substeps, at the RADIATION cfl (reference
@@ -314,7 +470,7 @@ class AMRSimulation(Simulation):
                 ropts = self._radiation.opts
                 dt_l = (ropts.max_substeps * ropts.cfl
                         * self.level_grids[l].dx_min / ropts.chat)
-                dt0 = min(dt0, (2**l) * dt_l)
+                dt0 = min(dt0, fac * dt_l)
         dt0 = min(dt0, 1.1 * self.dt_prev, self.max_dt)
         if self.t == 0.0:
             dt0 = min(dt0, self.init_dt)
@@ -438,15 +594,21 @@ class AMRSimulation(Simulation):
             self._parent_t = t_level
             self._parent_dt = dt_l
 
+            # subcycled: 2 fine substeps per parent step; global stepping:
+            # one fine step with the same dt (reference do_subcycle=0)
+            n_fine = 2 if self.do_subcycle else 1
+            w = 1.0 / n_fine
             fine_flux_sum = None
-            for i in range(2):
-                self._timestep_with_subcycling(l + 1, t_level + i * dt_l / 2, dt_l / 2)
+            for i in range(n_fine):
+                self._timestep_with_subcycling(
+                    l + 1, t_level + i * dt_l * w, dt_l * w
+                )
                 ff = self._last_restricted_fluxes
                 if fine_flux_sum is None:
-                    fine_flux_sum = {d: 0.5 * F for d, F in ff.items()}
+                    fine_flux_sum = {d: w * F for d, F in ff.items()}
                 else:
                     fine_flux_sum = {
-                        d: fine_flux_sum[d] + 0.5 * ff[d] for d in ff
+                        d: fine_flux_sum[d] + w * ff[d] for d in ff
                     }
 
             (self._parent_U_old, self._parent_U_new,

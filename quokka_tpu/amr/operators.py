@@ -48,8 +48,31 @@ def _mc_slope(U: jnp.ndarray, ax: int) -> jnp.ndarray:
 def prolong(U: jnp.ndarray, active_axes: Sequence[int]) -> jnp.ndarray:
     """Limited-linear conservative interpolation to the 2x finer grid
     (lincc-style): fine child value = coarse + sum_d (+-1/4) slope_d.
-    Conservative by construction (children average to the parent)."""
+    Conservative by construction (children average to the parent).
+
+    Multi-dimensional limiting (AMReX `CellConservativeLinear` semantics):
+    per-axis MC slopes can still overshoot at a corner child, where all
+    d slope contributions add (e.g. a 10^6 density contrast at a sphere
+    edge produced NEGATIVE prolonged densities); rescale each cell's
+    slopes by a common factor so every child stays within the 3^d
+    neighborhood's min/max."""
     slopes = {d: _mc_slope(U, U.ndim - 3 + d) for d in active_axes}
+
+    if len(active_axes) > 1:
+        mn = U
+        mx = U
+        for d in active_axes:
+            ax = U.ndim - 3 + d
+            mn = jnp.minimum(mn, jnp.minimum(sh(mn, 1, ax), sh(mn, -1, ax)))
+            mx = jnp.maximum(mx, jnp.maximum(sh(mx, 1, ax), sh(mx, -1, ax)))
+        s_sum = sum(jnp.abs(slopes[d]) for d in active_axes) * 0.25
+        tiny = jnp.finfo(U.dtype).tiny
+        alpha = jnp.minimum(
+            1.0,
+            jnp.minimum(U - mn, mx - U) / jnp.maximum(s_sum, tiny),
+        )
+        alpha = jnp.maximum(alpha, 0.0)
+        slopes = {d: alpha * s for d, s in slopes.items()}
     out = U
     out_slopes = dict(slopes)
     for d in active_axes:

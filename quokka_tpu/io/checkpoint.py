@@ -64,6 +64,10 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
         json.dump(header, f, indent=1)
 
     _save_array(os.path.join(path, "Level_0", "state"), sim.U)
+    # face-centered state (reference Level_*/Face_{x,y,z} VisMF binaries)
+    if getattr(sim, "U_fc", None) is not None:
+        for d, nm in enumerate(("Face_x", "Face_y", "Face_z")):
+            _save_array(os.path.join(path, "Level_0", nm), sim.U_fc[d])
     for l in range(1, finest + 1):
         lvl_dir = os.path.join(path, f"Level_{l}")
         os.makedirs(lvl_dir, exist_ok=True)
@@ -123,6 +127,13 @@ def read_checkpoint(sim, path: str):
         import jax
 
         sim.U = jax.device_put(sim.U, sim.decomp.state_sharding())
+    fx = os.path.join(path, "Level_0", "Face_x")
+    if os.path.exists(fx + ".qka") or os.path.exists(fx + ".npy"):
+        sim.U_fc = [
+            jnp.asarray(_load_array(os.path.join(path, "Level_0", nm)),
+                        dtype=sim.dtype)
+            for nm in ("Face_x", "Face_y", "Face_z")
+        ]
     sim.t = float(header["time"])
     sim.istep = int(header["istep"])
     sim.dt_prev = float(header["dt_prev"])

@@ -41,6 +41,16 @@ class Decomposition:
     def state_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, self.state_spec())
 
+    def mask_spec(self) -> P:
+        """PartitionSpec for a spatial field without a component axis
+        (AMR refinement masks, phi, per-cell diagnostics)."""
+        return P(*[
+            AXIS_NAMES[d] if self.tiles[d] > 1 else None for d in range(3)
+        ])
+
+    def mask_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.mask_spec())
+
     def sharded_dims(self) -> Tuple[int, ...]:
         return tuple(d for d in range(3) if self.tiles[d] > 1)
 

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     kelvin_helmholtz,
     leblanc,
     nscbc_channel,
+    nscbc_vortex,
     primordial_chem,
     rad_beam,
     rad_dust,
@@ -18,14 +19,17 @@ from . import (  # noqa: F401
     rad_line_cooling,
     rad_marshak,
     rad_marshak_asymptotic,
+    rad_marshak_vaytet,
     rad_matter_coupling,
     rad_multigroup,
     rad_pulse,
     rad_streaming,
     rad_suolson,
     rad_tophat,
+    rad_tube,
     radhydro_bench,
     radhydro_pulse,
+    radhydro_shell,
     rayleigh_taylor,
     radhydro_shock,
     random_blast,

@@ -68,3 +68,62 @@ class RayleighTaylor2DProblem(Problem):
         U = U.at[4].set(eint + 0.5 * rho * vy * vy)
         U = U.at[5].set(eint)
         return U
+
+
+@register_problem
+class RayleighTaylor3DProblem(Problem):
+    """3D single-mode-seeded RT (reference
+    ``src/problems/RayleighTaylor3D/test_hydro3d_rt.cpp``): heavy over
+    light along z with a passive scalar marking the heavy fluid, random
+    z-velocity perturbation amp*(1+cos(8 pi z / 3))/2, periodic in x/y,
+    reflecting in z; density-gradient AMR tagging above rho_min = 0.1."""
+
+    name = "RayleighTaylor3D"
+    physics = PhysicsTraits(hydro_enabled=True, n_scalars=1)
+    eos_traits = EOSTraits(gamma=1.4, mean_molecular_weight=1.0,
+                           boltzmann_constant=1.0)
+    bcs = BCSpec(x=(BC_PERIODIC, BC_PERIODIC), y=(BC_PERIODIC, BC_PERIODIC),
+                 z=(BC_REFLECT, BC_REFLECT))
+
+    perturb: bool = True
+
+    def external_acceleration(self, grid):
+        g = jnp.zeros((3, *grid.n_cell))
+        return g.at[2].set(G_Y)
+
+    def error_est(self, sim, level):
+        from ..stencil import sh
+
+        rho = sim.level_U[level][0]
+        grad = jnp.zeros_like(rho)
+        for d in sim.level_grids[level].active_axes:
+            grad = jnp.maximum(
+                grad, jnp.abs(0.5 * (sh(rho, 1, d) - sh(rho, -1, d))) / rho
+            )
+        return (grad > 0.2) & (rho > 0.1)
+
+    def set_initial_conditions(self, grid):
+        x, y, z = grid.cell_center_mesh()
+        shape = grid.n_cell
+        layout = self.physics.layout()
+        gmm = self.eos_traits.gamma
+
+        heavy = jnp.broadcast_to(z > 0.0, shape)
+        rho = jnp.where(heavy, RHO_TOP, RHO_BOT)
+        scalar = jnp.where(heavy, 1.0, 0.0)
+        P = jnp.broadcast_to(P0 + rho * G_Y * z, shape)
+        if self.perturb:
+            rng = np.random.default_rng(42)
+            amp = AMP * jnp.asarray(rng.random(shape))
+            vz = amp * (1.0 + jnp.cos(8.0 * jnp.pi * jnp.broadcast_to(z, shape) / 3.0)) / 2.0
+        else:
+            vz = jnp.zeros(shape)
+
+        eint = P / (gmm - 1.0)
+        U = jnp.zeros((layout.nvar, *shape))
+        U = U.at[0].set(rho)
+        U = U.at[3].set(rho * vz)
+        U = U.at[4].set(eint + 0.5 * rho * vz * vz)
+        U = U.at[5].set(eint)
+        U = U.at[6].set(scalar * rho)
+        return U

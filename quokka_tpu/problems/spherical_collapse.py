@@ -54,3 +54,8 @@ class SphericalCollapseProblem(Problem):
         U = U.at[EGAS].set(eint)
         U = U.at[EINT].set(eint)
         return U
+
+    def error_est(self, sim, level):
+        """Tag cells above the density threshold for refinement (reference
+        ``spherical_collapse.cpp:101-118``: q_min = 5.0)."""
+        return sim.level_U[level][RHO] > 5.0

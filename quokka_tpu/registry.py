@@ -259,6 +259,16 @@ class Problem:
         the gas; reference tracer particles) or None."""
         return None
 
+    def set_initial_conditions_fc(self, grid):
+        """Face-centered initial state (MHD-ready bookkeeping, reference
+        `setInitialConditionsAtLevel_fc` + Physics_NumVars face-centered
+        vars: one velocity + one B component per dimension,
+        ``src/physics_numVars.hpp:10-15``).  Return a list of three arrays
+        [n_fc_comps, nx+1, ny, nz] / [.., nx, ny+1, nz] / [.., nx, ny, nz+1]
+        (staggered along their own axis), or None when the problem carries
+        no face-centered state."""
+        return None
+
     def compute_before_timestep(self, sim):
         pass
 

@@ -368,6 +368,23 @@ class Simulation:
         expected = (self.layout.nvar, *self.grid.n_cell)
         if U.shape != expected:
             raise ValueError(f"IC shape {U.shape} != expected {expected}")
+
+        # face-centered state (MHD-ready bookkeeping; reference
+        # state_new_fc_ per level, src/simulation.hpp:345-348). No induction
+        # update exists yet -- stub-level parity with the reference's MHD.
+        fc = self.problem.set_initial_conditions_fc(self.grid)
+        if fc is not None:
+            self.U_fc = [jnp.asarray(a, dtype=self.dtype) for a in fc]
+            for d, a in enumerate(self.U_fc):
+                want = list(self.grid.n_cell)
+                want[d] += 1
+                if tuple(a.shape[1:]) != tuple(want):
+                    raise ValueError(
+                        f"fc IC axis {d}: spatial shape {a.shape[1:]} != "
+                        f"staggered {tuple(want)}"
+                    )
+        else:
+            self.U_fc = None
         if self.decomp is not None:
             U = jax.device_put(U, self.decomp.state_sharding())
         self.U = U
@@ -426,13 +443,23 @@ class Simulation:
             Gk = pg.greens_function_kernel(self.grid.n_cell, self.grid.dx, self.dtype)
             self._greens_fft = jnp.fft.rfftn(Gk)
 
-        def solve_phi(U, particle_rhs):
+        # NB: the Green's-function FFT is passed as an ARGUMENT, not closed
+        # over -- a closure would embed it as a compiled constant, which
+        # materializes the device array to host (complex transfers are
+        # unimplemented on some TPU attachment backends)
+        def solve_phi_open(U, particle_rhs, greens):
             rhs = 4.0 * jnp.pi * self.Gconst * U[RHO] + particle_rhs
-            if self.gravity_bc == "open":
-                return pg.solve_poisson_open(rhs, self.grid.dx, self._greens_fft)
+            return pg.solve_poisson_open(rhs, self.grid.dx, greens)
+
+        def solve_phi_periodic(U, particle_rhs):
+            rhs = 4.0 * jnp.pi * self.Gconst * U[RHO] + particle_rhs
             return pg.solve_poisson_periodic(rhs, self.grid.dx)
 
-        self._solve_phi_jit = jax.jit(solve_phi)
+        if self.gravity_bc == "open":
+            _open_jit = jax.jit(solve_phi_open)
+            self._solve_phi_jit = lambda U, prhs: _open_jit(U, prhs, self._greens_fft)
+        else:
+            self._solve_phi_jit = jax.jit(solve_phi_periodic)
         self._gravity_kick_jit = jax.jit(
             lambda U, phi, dt: pg.apply_gravity_kick(U, phi, self.grid.dx, dt)
         )
@@ -514,7 +541,10 @@ class Simulation:
         # is just the radiation subcycle (reference: radiation test problems
         # run with constant_dt and no hydro state update)
         if not self.layout.hydro_enabled and self._radiation is not None:
-            self.U = self._radiation.subcycle(self.U, self.t, dt)
+            from .utils.profiler import prof
+
+            with prof.region("RadiationSolver"):
+                self.U = prof.sync(self._radiation.subcycle(self.U, self.t, dt))
             return True
 
         max_retries = 6
@@ -535,7 +565,10 @@ class Simulation:
                     ok = False
                     break
                 if self._radiation is not None:
-                    U = self._radiation.subcycle(U, self.t, dt_sub)
+                    from .utils.profiler import prof
+
+                    with prof.region("RadiationSolver"):
+                        U = prof.sync(self._radiation.subcycle(U, self.t, dt_sub))
             if ok:
                 self.U = U
                 return True
@@ -631,14 +664,17 @@ class Simulation:
         return 0
 
     def evolve(self):
+        from .utils.profiler import prof
+
         if self.U is None:
             self.set_initial_conditions()
         if self.verbose:
             self._performance_hints()
+        prof.reset(enabled=bool(self.pp.get_int("profile.enabled", 0)))
 
         start_walltime = _time.perf_counter()
         ncells = self.grid.num_cells
-        fused_ok = self._fused_eligible()
+        fused_ok = self._fused_eligible() and not prof.enabled
 
         while self.t < self.stop_time * (1.0 - 1e-14) and self.istep < self.max_timesteps:
             if fused_ok:
@@ -665,23 +701,29 @@ class Simulation:
                     # step-by-step below (U was not modified)
 
             self.problem.compute_before_timestep(self)
-            dt = self.compute_timestep()
+            with prof.region("computeTimestep"):
+                dt = self.compute_timestep()
             if dt <= 0.0:
                 break
             if self.verbose:
                 print(f"Coarse STEP {self.istep + 1} starts t = {self.t:.6e} dt = {dt:.6e}")
 
             if self.gravity_enabled:
-                self._gravity_before_step(dt)
+                with prof.region("GravitySolver"):
+                    self._gravity_before_step(dt)
 
-            ok = self.advance_single_step(dt)
+            with prof.region("HydroSolver"):
+                ok = self.advance_single_step(dt)
+                prof.sync(self.U)
             if not ok:
                 raise RuntimeError(
                     f"Hydro update exceeded max_retries at step {self.istep}; cannot continue."
                 )
 
             if self.gravity_enabled:
-                self._gravity_after_step(dt)
+                with prof.region("GravitySolver"):
+                    self._gravity_after_step(dt)
+                    prof.sync(self.U)
 
             if getattr(self, "_g_ext", None) is not None:
                 self.U = self._g_ext(self.U, dt)
@@ -697,11 +739,13 @@ class Simulation:
             self.istep += 1
             self.cell_updates += ncells
 
-            self._maybe_write_outputs()
+            with prof.region("IO"):
+                self._maybe_write_outputs()
             if self._walltime_exceeded(start_walltime):
                 break
 
         jax.block_until_ready(self.U)
+        prof.report()
         elapsed = _time.perf_counter() - start_walltime
         self.elapsed_walltime = elapsed
 

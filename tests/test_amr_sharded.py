@@ -1,0 +1,101 @@
+"""Distributed AMR: the multi-level hierarchy sharded over the device mesh
+must reproduce the single-device hierarchy.
+
+The reference's AMR is MPI-distributed with measured strong scaling
+(``src/simulation.hpp:1220-1345``, ``paper/strong_scaling.csv``); here every
+level array is block-sharded over the same device mesh (each device owns
+the same spatial subdomain at every resolution, so prolongation /
+restriction / refluxing stay shard-local and only ghost fills communicate).
+Runs on the virtual 8-device CPU mesh (conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quokka_tpu import ParmParse
+from quokka_tpu.amr import AMRSimulation
+from quokka_tpu.indices import EGAS, RHO
+from quokka_tpu.parallel.decomp import make_decomposition
+from quokka_tpu.registry import EOSTraits, PhysicsTraits, Problem
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class Blast2D(Problem):
+    """Periodic 2D blast with energy-gradient tagging (same configuration
+    as tests/test_amr.py, now over the device mesh)."""
+
+    name = "Blast2D_AMR_Sharded"
+    physics = PhysicsTraits(hydro_enabled=True)
+    eos_traits = EOSTraits(gamma=1.4)
+
+    def set_initial_conditions(self, grid):
+        x, y, _z = grid.cell_center_mesh()
+        shape = grid.n_cell
+        r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
+        P = jnp.where(r2 < 0.01, 10.0, 0.1)
+        g = self.eos_traits.gamma
+        eint = jnp.broadcast_to(P / (g - 1.0), shape)
+        zeros = jnp.zeros(shape)
+        return jnp.stack([jnp.ones(shape), zeros, zeros, zeros, eint, eint])
+
+    def error_est(self, sim, level):
+        U = sim.level_U[level]
+        q = U[EGAS]
+        grad = jnp.zeros_like(q)
+        for d in sim.grid.active_axes:
+            grad = jnp.maximum(
+                grad,
+                jnp.abs(jnp.roll(q, -1, d) - jnp.roll(q, 1, d))
+                / jnp.maximum(jnp.abs(q), 1e-10),
+            )
+        return grad > 0.05
+
+
+CFG = """
+amr.n_cell = 64 64 1
+amr.max_level = 1
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 1.
+cfl = 0.3
+stop_time = 0.04
+max_timesteps = 100
+verbose = 0
+"""
+
+
+def _run(decomp):
+    sim = AMRSimulation(Blast2D(), ParmParse.from_string(CFG), decomp=decomp)
+    sim.set_initial_conditions()
+    sim.evolve()
+    return sim
+
+
+def test_sharded_amr_matches_single_device():
+    ref = _run(None)
+    decomp = make_decomposition((64, 64, 1), tiles=(4, 2, 1))
+    sh = _run(decomp)
+    assert sh.finest_level == ref.finest_level == 1
+    assert sh.istep == ref.istep
+    for l in range(2):
+        np.testing.assert_allclose(
+            np.asarray(sh.level_U[l]), np.asarray(ref.level_U[l]),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sh.level_mask[l]), np.asarray(ref.level_mask[l])
+        )
+    # level arrays actually live distributed
+    shardings = sh.level_U[1].sharding.device_set
+    assert len(shardings) == 8
+
+
+def test_sharded_amr_conservation():
+    decomp = make_decomposition((64, 64, 1), tiles=(2, 4, 1))
+    sim = _run(decomp)
+    assert abs(sim.conservation_rel_err[RHO]) < 1e-11
+    assert abs(sim.conservation_rel_err[EGAS]) < 1e-11

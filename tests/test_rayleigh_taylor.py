@@ -54,3 +54,33 @@ def test_instability_grows():
     # kinetic energy grew well above the seed level
     ke = 0.5 * (U[1] ** 2 + U[2] ** 2).sum() / U[0].mean()
     assert ke > 1e-3
+
+
+def test_rt3d_growth():
+    """RayleighTaylor3D (reference src/problems/RayleighTaylor3D): the
+    interface is unstable -- perturbation kinetic energy grows -- and the
+    heavy-fluid scalar stays bounded in [0, rho_top]."""
+    import numpy as np
+    from quokka_tpu.problems.rayleigh_taylor import RayleighTaylor3DProblem
+
+    pp = ParmParse.from_string("""
+geometry.prob_lo = -0.25 -0.25 -0.375
+geometry.prob_hi = 0.25 0.25 0.375
+amr.n_cell = 16 16 24
+cfl = 0.3
+stop_time = 2.0
+max_timesteps = 120
+verbose = 0
+""")
+    sim = Simulation(RayleighTaylor3DProblem(), pp)
+    sim.set_initial_conditions()
+    U0 = np.asarray(sim.U)
+    ke_z0 = float((U0[3] ** 2 / U0[0]).sum())
+    sim.evolve()
+    U = np.asarray(sim.U)
+    assert np.all(np.isfinite(U))
+    ke_z1 = float((U[3] ** 2 / U[0]).sum())
+    assert ke_z1 > 2.0 * ke_z0  # instability grows
+    s = U[6] / U[0]
+    # reconstruction can overshoot the fraction by O(1e-4) at the interface
+    assert s.min() > -1e-4 and s.max() < 1.0 + 1e-4
