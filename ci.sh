@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# CI driver (the analog of the reference's GitHub Actions matrix,
+# .github/workflows/cmake.yml + checkpoint-restart.yml; SURVEY.md §4):
+#
+#   ./ci.sh fast      - quick correctness tier (minutes): core solver +
+#                       restart + sharding + chemistry/cooling wiring
+#   ./ci.sh full      - the whole suite (tests/ on the virtual CPU mesh)
+#   ./ci.sh golden    - golden-file regression tier
+#   ./ci.sh debug     - sanitizer analog: eager (jit-disabled) leg of the
+#                       fast tier, catching tracer leaks / shape bugs that
+#                       compiled runs can mask (the reference runs its
+#                       suite under ASan/UBSan + FPE trapping)
+#   ./ci.sh all       - fast + debug + golden + full
+set -euo pipefail
+cd "$(dirname "$0")"
+
+tier="${1:-fast}"
+
+FAST_TESTS=(
+  tests/test_hydro_shocktube.py
+  tests/test_advection.py
+  tests/test_restart_equivalence.py
+  tests/test_fused_evolve.py
+  tests/test_sharded.py
+  tests/test_amr.py
+  tests/test_radiation_streaming.py
+  tests/test_radiation_coupling.py
+  tests/test_primordial_chem_integration.py
+  tests/test_cooling_tables.py
+)
+
+run_fast()   { python -m pytest "${FAST_TESTS[@]}" -q -x; }
+run_full()   { python -m pytest tests/ -q; }
+run_golden() { python -m pytest tests/test_golden_regression.py -q; }
+run_debug()  {
+  # eager leg: disable jit for a representative subset (slow per-op
+  # dispatch, so the subset is small); JAX_DISABLE_JIT surfaces python-
+  # level bugs (tracer leaks, concretization, indexing) that jit hides
+  JAX_DISABLE_JIT=1 python -m pytest \
+    tests/test_hydro_shocktube.py::test_shocktube_plm_coarse \
+    tests/test_ode_integration.py \
+    -q -x
+}
+
+case "$tier" in
+  fast)   run_fast ;;
+  full)   run_full ;;
+  golden) run_golden ;;
+  debug)  run_debug ;;
+  all)    run_fast; run_debug; run_golden; run_full ;;
+  *) echo "usage: ./ci.sh [fast|full|golden|debug|all]" >&2; exit 2 ;;
+esac
+echo "ci.sh: tier '$tier' PASSED"

@@ -312,7 +312,9 @@ class AMRSimulation(Simulation):
             from ..gravity import poisson as pg
 
             g = self.level_grids[l]
-            Gk = pg.greens_function_kernel(g.n_cell, g.dx, self.dtype)
+            # kernel at the FFT dtype (TPU backends have no complex128)
+            fdt = pg._fft_real_dtype(self.dtype)
+            Gk = pg.greens_function_kernel(g.n_cell, g.dx, fdt)
             self._greens_level[l] = jnp.fft.rfftn(Gk)
         return self._greens_level[l]
 

@@ -49,6 +49,18 @@ def greens_function_kernel(shape, dx, dtype=jnp.float64):
     return -1.0 / (4.0 * jnp.pi * r)
 
 
+def _fft_real_dtype(dtype):
+    """TPU backends have no complex128 (`C128 is not supported on TPU`):
+    f64 Poisson solves run their FFT stage in f32/complex64 there, with the
+    result cast back.  phi's ~1e-7 relative FFT error is far below the
+    operator-split gravity truncation error."""
+    import jax
+
+    if jnp.dtype(dtype) == jnp.float64 and jax.default_backend() != "cpu":
+        return jnp.float32
+    return jnp.dtype(dtype)
+
+
 def solve_poisson_open(rho_rhs: jnp.ndarray, dx, G_kernel_fft=None, dtype=None):
     """Solve nabla^2 phi = rhs with isolated (open) boundary conditions by
     free-space convolution: phi = G * rhs, G = -1/(4 pi r).
@@ -59,18 +71,22 @@ def solve_poisson_open(rho_rhs: jnp.ndarray, dx, G_kernel_fft=None, dtype=None):
     rfftn) to amortize the kernel FFT."""
     shape = rho_rhs.shape
     dtype = dtype or rho_rhs.dtype
+    fdt = _fft_real_dtype(dtype)
     n2 = tuple(2 * n for n in shape)
 
     if G_kernel_fft is None:
-        Gk = greens_function_kernel(shape, dx, dtype)
+        Gk = greens_function_kernel(shape, dx, fdt)
         G_kernel_fft = jnp.fft.rfftn(Gk)
+    elif G_kernel_fft.dtype == jnp.complex128 and fdt == jnp.float32:
+        G_kernel_fft = G_kernel_fft.astype(jnp.complex64)
 
     cell_vol = dx[0] * dx[1] * dx[2]
-    src = jnp.zeros(n2, dtype=dtype)
-    src = src.at[: shape[0], : shape[1], : shape[2]].set(rho_rhs)
+    src = jnp.zeros(n2, dtype=fdt)
+    src = src.at[: shape[0], : shape[1], : shape[2]].set(
+        rho_rhs.astype(fdt))
     phi2 = jnp.fft.irfftn(jnp.fft.rfftn(src) * G_kernel_fft, s=n2)
     phi = phi2[: shape[0], : shape[1], : shape[2]] * cell_vol
-    return phi
+    return phi.astype(dtype)
 
 
 def solve_poisson_periodic(rhs: jnp.ndarray, dx):
@@ -78,18 +94,20 @@ def solve_poisson_periodic(rhs: jnp.ndarray, dx):
     Laplacian eigenvalues, so the solution is consistent with the
     second-order central-difference gradient used in the kick)."""
     shape = rhs.shape
+    dtype = rhs.dtype
+    fdt = _fft_real_dtype(dtype)
     ks = []
     for d in range(3):
-        k = jnp.fft.fftfreq(shape[d]) * 2.0 * jnp.pi
+        k = jnp.fft.fftfreq(shape[d]).astype(fdt) * 2.0 * jnp.pi
         ks.append((2.0 * jnp.cos(k) - 2.0) / dx[d] ** 2)
     eig = (
         ks[0][:, None, None] + ks[1][None, :, None] + ks[2][None, None, :]
     )
-    rhs_hat = jnp.fft.fftn(rhs)
+    rhs_hat = jnp.fft.fftn(rhs.astype(fdt))
     eig = eig.at[0, 0, 0].set(1.0)
     phi_hat = rhs_hat / eig
     phi_hat = phi_hat.at[0, 0, 0].set(0.0)  # zero-mean gauge
-    return jnp.real(jnp.fft.ifftn(phi_hat))
+    return jnp.real(jnp.fft.ifftn(phi_hat)).astype(dtype)
 
 
 def gravity_accel(phi: jnp.ndarray, dx, periodic=True):

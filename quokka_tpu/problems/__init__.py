@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     leblanc,
     nscbc_channel,
     nscbc_vortex,
+    popiii,
     primordial_chem,
     rad_beam,
     rad_dust,
@@ -19,6 +20,7 @@ from . import (  # noqa: F401
     rad_line_cooling,
     rad_marshak,
     rad_marshak_asymptotic,
+    rad_marshak_cgs,
     rad_marshak_vaytet,
     rad_matter_coupling,
     rad_multigroup,
@@ -27,6 +29,7 @@ from . import (  # noqa: F401
     rad_suolson,
     rad_tophat,
     rad_tube,
+    radhydro_bb,
     radhydro_bench,
     radhydro_pulse,
     radhydro_shell,

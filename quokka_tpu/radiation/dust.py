@@ -303,6 +303,88 @@ def add_source_terms_gas_dust(
         out = lax.while_loop(cond, body, carry0)
         _n, _done, Egas_g, Erad_g, R_g, T_d, aE, aP = out
 
+        # ---- globalized fallback: bisection on T_d for coupled cells the
+        # damped Newton failed to converge (the reference's per-cell loop
+        # converges these; the whole-array Newton can stall or overflow in
+        # the tau >> 1 instant-equilibrium front cell of RadMarshakDust
+        # with kappa_IR = 1e10).  The reduced system is solved exactly for
+        # a trial dust temperature -- per-group radiation equilibrium
+        # (F_g = 0 closed form), implicit gas energy (fixed point over
+        # cooling/PE), with the dust energy balance
+        #     sum_g R_g = Lambda_gd = N sqrt(T_gas) (T_gas - T_d)
+        # as the master residual, which brackets in T_d on
+        # [0, 2^k max(T_gas, T_rad)] and is solved to machine precision by
+        # fixed-count bisection (guaranteed convergence, jit-stable).
+        bad = jnp.logical_not(_done)
+        bad = bad | jnp.logical_not(jnp.isfinite(Egas_g))
+        bad = bad | jnp.logical_not(jnp.all(jnp.isfinite(Erad_g), axis=0))
+        bad = bad | jnp.logical_not(jnp.isfinite(T_d))
+        need_fb = bad
+
+        def fb_eval(T_d_try):
+            B_g = fourPiB_groups(T_d_try)
+            z_ = jnp.zeros_like(B_g)
+            kP, kE, kPoE, _a, _b = opacity_PE(T_d_try, Erad0, B_g, z_, z_,
+                                              jnp.int32(0))
+            tau = dt * rho[None] * kP * chat
+            Erad_eq = (Erad0 + Src + work + tau * B_g) / (1.0 + tau / kPoE)
+            Erad_eq = jnp.maximum(Erad_eq, 0.0)
+            R_eq = Erad_eq - Erad0 - Src
+            sumR = jnp.sum(R_eq, axis=0)
+
+            def gas_fp(_i, E):
+                T = eos.tgas_from_eint(rho, jnp.maximum(E, 1e-300))
+                cool = problem.define_net_cooling_rate(T, n_H) * dt
+                pe = (pe_deriv(T) * Erad_eq[G - 1]) if with_pe else 0.0
+                return jnp.maximum(
+                    Egas0 - cscale * sumR - jnp.sum(cool, axis=0)
+                    + cr_heat + pe, 1e-300)
+
+            Egas_t = lax.fori_loop(0, 8, gas_fp,
+                                   jnp.maximum(Egas0 - cscale * sumR, 1e-300))
+            T_gas_t = eos.tgas_from_eint(rho, Egas_t)
+            # dust balance: coupled cells close with the implicit gas
+            # temperature; decoupled cells use the frozen lambda_gd
+            # (reference dust_model = 2, radiation_dust_system.hpp:381-397)
+            lam = jnp.where(
+                coupled,
+                coeff_n * jnp.sqrt(jnp.maximum(T_gas_t, 1e-300))
+                * (T_gas_t - T_d_try),
+                lambda_gd_dt,
+            )
+            resid = sumR - lam
+            Egas_t = jnp.where(coupled, Egas_t, Egas0)
+            return resid, Egas_t, Erad_eq, R_eq
+
+        if True:  # fallback is cheap relative to the Newton; always compiled
+            T_rad0 = (jnp.maximum(jnp.sum(Erad0 + Src, axis=0), 0.0)
+                      / opts.arad) ** 0.25
+            hi0 = 2.0 * jnp.maximum(T_gas0, T_rad0) + 1e-30
+
+            def grow_body(_i, hi):
+                r, *_ = fb_eval(hi)
+                return jnp.where(r < 0.0, 2.0 * hi, hi)
+
+            hi = lax.fori_loop(0, 20, grow_body, hi0)
+            lo = jnp.zeros_like(hi)
+
+            def bis_body(_i, carry):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                r, *_ = fb_eval(mid)
+                lo_new = jnp.where(r < 0.0, mid, lo)
+                hi_new = jnp.where(r < 0.0, hi, mid)
+                return lo_new, hi_new
+
+            lo, hi = lax.fori_loop(0, 80, bis_body, (lo, hi))
+            T_d_fb = 0.5 * (lo + hi)
+            _r, Egas_fb, Erad_fb, R_fb = fb_eval(T_d_fb)
+
+            Egas_g = jnp.where(need_fb, Egas_fb, Egas_g)
+            Erad_g = jnp.where(need_fb[None], Erad_fb, Erad_g)
+            R_g = jnp.where(need_fb[None], R_fb, R_g)
+            T_d = jnp.where(need_fb, T_d_fb, T_d)
+
         # ---- decoupled cells: scalar backward-Euler gas update with the
         # frozen gas-dust exchange + cooling (reference :515-545)
         T_gas_f = eos.tgas_from_eint(rho, Egas_g)

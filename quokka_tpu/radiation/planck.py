@@ -35,10 +35,15 @@ _X_TAB, _Y_TAB = _build_table()
 
 
 def integrate_planck_from_0_to_x(x):
-    """Normalized Planck integral y(x) in [0, 1]."""
-    xt = jnp.asarray(_X_TAB)
-    yt = jnp.asarray(_Y_TAB)
-    return jnp.where(jnp.asarray(x) >= _X_MAX, 1.0, jnp.interp(jnp.asarray(x), xt, yt))
+    """Normalized Planck integral y(x) in [0, 1].  Tables are cast to the
+    input dtype: under jax_enable_x64 they would otherwise be f64 and
+    silently promote an f32 state through every consumer (e.g. the
+    multigroup Newton carry on the TPU f32 path)."""
+    x = jnp.asarray(x)
+    xt = jnp.asarray(_X_TAB, dtype=x.dtype)
+    yt = jnp.asarray(_Y_TAB, dtype=x.dtype)
+    return jnp.where(x >= _X_MAX, jnp.asarray(1.0, x.dtype),
+                     jnp.interp(x, xt, yt))
 
 
 def planck_energy_fractions(boundaries, T, boltzmann_constant=1.0, energy_unit=1.0):
@@ -52,7 +57,8 @@ def planck_energy_fractions(boundaries, T, boltzmann_constant=1.0, energy_unit=1
     """
     G = len(boundaries) - 1
     if G == 1:
-        return jnp.ones((1, *jnp.shape(T)))
+        return jnp.ones((1, *jnp.shape(T)),
+                        dtype=getattr(T, "dtype", jnp.float64))
     kT = boltzmann_constant * T
     fracs = []
     prev = jnp.zeros_like(T)

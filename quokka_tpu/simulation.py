@@ -440,7 +440,9 @@ class Simulation:
         self.particles = self.problem.create_initial_particles(self.grid)
 
         if self.gravity_bc == "open":
-            Gk = pg.greens_function_kernel(self.grid.n_cell, self.grid.dx, self.dtype)
+            # kernel built at the FFT dtype (TPU backends have no complex128)
+            fdt = pg._fft_real_dtype(self.dtype)
+            Gk = pg.greens_function_kernel(self.grid.n_cell, self.grid.dx, fdt)
             self._greens_fft = jnp.fft.rfftn(Gk)
 
         # NB: the Green's-function FFT is passed as an ARGUMENT, not closed

@@ -12,9 +12,12 @@ from quokka_tpu.problems.rad_dust import RadMarshakDustProblem
 
 @pytest.mark.slow
 @pytest.mark.xfail(
-    reason="the tau ~ 3e7-per-substep FUV front cell still diverges in the "
-    "damped whole-array Newton (the reference's per-cell loop converges "
-    "this state); tracked as a ROADMAP robustness item", strict=False)
+    reason="round 2 added a guaranteed-bracket bisection fallback on T_d "
+    "(dust.py) which converges the tau ~ 3e7 front cell itself (NaN onset "
+    "moved from step 0 to step ~14), but cells behind the front still "
+    "lock in early-frozen Newton states that leak FUV energy into the "
+    "gas; the full fix is the reference's per-cell (G+1)-unknown LU "
+    "Newton without freeze-on-converge", strict=False)
 def test_marshak_dust_attenuation():
     pp = ParmParse.from_string("""
 geometry.prob_lo = 0.0 0.0 0.0
