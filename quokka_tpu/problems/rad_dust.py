@@ -123,3 +123,104 @@ class RadMarshakDustProblem(Problem):
                         ERAD_FLOOR)
         T = np.full_like(x, T_INIT)
         return e_ir, e_fuv, T
+
+
+# -------------------------------------------------------- multigroup variant
+# (reference ``src/problems/RadDustMG/test_rad_dust_MG.cpp`` run with
+# tests/RadDust.in): uniform gas at T = 1 with NO radiation couples to dust
+# in 4 groups with a MODIFIED blackbody B_g = a_rad T x Planck fractions
+# (linear in T, so "T_rad" = sum E_g / a_rad), chi = 1e4/cm, c = chat = 1e8.
+# The gas-dust collision rate (coeff = 1e6) is the bottleneck, so the
+# radiation field sits on the instant-equilibrium manifold E_g = B_g(T_d),
+# T_d = sum E / a_rad, and the slow dynamics reduce to
+#     dR/dt = Lambda_gd,   c_v dT_gas/dt = -Lambda_gd,
+#     Lambda_gd = coeff sqrt(T_gas) (T_gas - R/a_rad)
+# which `exact_trajectory` integrates (the reference ships the same
+# trajectory as extern/data/dust/rad_dust_exact.csv; tolerance 8e-4).
+DMG_C = 1.0e8
+DMG_CHI = 1.0e4       # 1/cm at rho = 1
+DMG_ARAD = 1.0
+DMG_T0 = 1.0
+DMG_CV = 1.5          # kB = mu = 1, gamma = 5/3
+DMG_COEFF = 1.0e6     # tests/RadDust.in dust_gas_interaction_coeff
+DMG_EDGES = (1.0e-3, 0.1, 1.0, 10.0, 1.0e3)
+DMG_FLOOR = 1.0e-20 * DMG_ARAD * DMG_T0**4
+
+
+@register_problem
+class RadDustMGProblem(Problem):
+    name = "RadDustMG"
+    physics = PhysicsTraits(hydro_enabled=False, radiation_enabled=True,
+                            n_groups=4)
+    eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=1.0,
+                           boltzmann_constant=1.0)
+    rad = RadTraits(c_light=DMG_C, c_hat=DMG_C, radiation_constant=DMG_ARAD,
+                    Erad_floor=DMG_FLOOR, beta_order=1,
+                    group_edges=DMG_EDGES, energy_unit=1.0)
+    ism = ISMTraits(
+        enable_dust_gas_thermal_coupling_model=True,
+        enable_photoelectric_heating=False,
+        dust_gas_coeff=DMG_COEFF,
+        mean_molecular_mass=1.0,
+    )
+    bcs = BCSpec()  # periodic
+
+    def define_opacity_exponents_and_lower_values(self, boundaries, rho, T):
+        k = jnp.broadcast_to(DMG_CHI / rho, (4, *jnp.shape(rho)))
+        return jnp.zeros_like(k), k
+
+    def compute_group_opacities(self, boundaries, rho, T):
+        return jnp.broadcast_to(DMG_CHI / rho, (4, *jnp.shape(rho)))
+
+    def compute_thermal_radiation_multigroup(self, T, boundaries):
+        from ..radiation.planck import planck_energy_fractions
+
+        fr = planck_energy_fractions(boundaries, T, 1.0, 1.0)
+        return DMG_ARAD * T * fr
+
+    def compute_thermal_radiation_temp_derivative_multigroup(self, T, boundaries):
+        from ..radiation.planck import planck_energy_fractions
+
+        fr = planck_energy_fractions(boundaries, T, 1.0, 1.0)
+        return DMG_ARAD * fr
+
+    @staticmethod
+    def exact_trajectory(t_eval, n_sub: int = 40):
+        """(T_gas, T_rad) on the slow manifold (RK4)."""
+        import numpy as np
+
+        t_eval = np.asarray(t_eval)
+        T, R = DMG_T0, 0.0
+        out_T, out_R = [], []
+        t = 0.0
+        for t_next in t_eval:
+            n = max(1, int(n_sub * max(t_next - t, 0) / 1.0e-8 + 0.5))
+            h = (t_next - t) / n if n else 0.0
+
+            def rhs(T, R):
+                lam = DMG_COEFF * np.sqrt(max(T, 1e-30)) * (T - R / DMG_ARAD)
+                return -lam / DMG_CV, lam
+
+            for _ in range(n):
+                k1 = rhs(T, R)
+                k2 = rhs(T + 0.5 * h * k1[0], R + 0.5 * h * k1[1])
+                k3 = rhs(T + 0.5 * h * k2[0], R + 0.5 * h * k2[1])
+                k4 = rhs(T + h * k3[0], R + h * k3[1])
+                T += h / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+                R += h / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+            t = t_next
+            out_T.append(T)
+            out_R.append(R / DMG_ARAD)
+        return np.asarray(out_T), np.asarray(out_R)
+
+    def set_initial_conditions(self, grid):
+        shape = grid.n_cell
+        layout = self.physics.layout()
+        eint = DMG_CV * DMG_T0 * jnp.ones(shape)
+        U = jnp.zeros((layout.nvar, *shape))
+        U = U.at[RHO].set(1.0)
+        U = U.at[EGAS].set(eint)
+        U = U.at[EINT].set(eint)
+        for g in range(4):
+            U = U.at[layout.rad_index(g, 0)].set(DMG_FLOOR)
+        return U

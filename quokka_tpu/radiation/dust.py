@@ -117,12 +117,26 @@ def add_source_terms_gas_dust(
     coeff_n = dt * ism.dust_gas_coeff * n_H * n_H / cscale
 
     def fourPiB_groups(T):
+        # problem override (modified blackbody; reference RadDustMG
+        # specializes ComputeThermalRadiationMultiGroup to B = a_rad T fr)
+        B_hook = problem.compute_thermal_radiation_multigroup(T, boundaries)
+        if B_hook is not None:
+            return jnp.maximum(B_hook, opts.erad_floor / G)
         if G == 1:
             return (opts.arad * T**4)[None]
         fr = planck_energy_fractions(boundaries, T, boltzmann_constant,
                                      getattr(problem.rad, "energy_unit", 1.0))
         B = opts.arad * T**4 * fr
         return jnp.maximum(B, opts.erad_floor / G)
+
+    def dB_dT_groups(T, B_g):
+        dB_hook = problem.compute_thermal_radiation_temp_derivative_multigroup(
+            T, boundaries)
+        if dB_hook is not None:
+            return dB_hook
+        # default 4 a T^3 scaled by the group fractions (B/(a T^4))
+        return 4.0 * opts.arad * T**3 * (
+            B_g / jnp.maximum(opts.arad * T**4, 1e-300))
 
     ppl = opts.opacity_model in ("ppl_fixed_slope", "ppl_full_spectrum")
     opacity_PE, opacity_F = make_opacity_model_fns(
@@ -187,8 +201,7 @@ def add_source_terms_gas_dust(
             )
             Erad_g = jnp.where(n > 0, Erad_new, Erad_g)
 
-            dB_dT = 4.0 * opts.arad * T_d**3 * (
-                B_g / jnp.maximum(opts.arad * T_d**4, 1e-300))
+            dB_dT = dB_dT_groups(T_d, B_g)
             c_v = eos.eint_temp_derivative(rho, T_gas)
             cool = problem.define_net_cooling_rate(T_gas, n_H) * dt
             cool_dT = problem.define_net_cooling_rate_temp_derivative(T_gas, n_H) * dt
@@ -390,16 +403,23 @@ def add_source_terms_gas_dust(
         T_gas_f = eos.tgas_from_eint(rho, Egas_g)
         cool_f = problem.define_net_cooling_rate(T_gas_f, n_H) * dt
 
+        # PE heating also applies to decoupled cells (reference
+        # SolveGasDustRadiationEnergyExchangeWithPE's dust_model == 2 gas
+        # update, radiation_dust_system.hpp:874-885, draws
+        # PE_deriv * Erad[G-1] from the converged FUV group)
+        pe_heat_dec = (pe_deriv(T_gas_f) * Erad_g[G - 1]) if with_pe else 0.0
+
         def egas_body(carry):
             n, done, E = carry
             T = eos.tgas_from_eint(rho, E)
             cool = problem.define_net_cooling_rate(T, n_H) * dt
             cool_dT = problem.define_net_cooling_rate_temp_derivative(T, n_H) * dt
             F = (E - Egas0 + cscale * lambda_gd_dt
-                 + jnp.sum(cool, axis=0) - cr_heat)
+                 + jnp.sum(cool, axis=0) - cr_heat - pe_heat_dec)
             J = 1.0 + jnp.sum(cool_dT, axis=0)
             compare = (jnp.abs(E) + cscale * jnp.abs(lambda_gd_dt)
-                       + jnp.sum(jnp.abs(cool), axis=0) + jnp.abs(cr_heat))
+                       + jnp.sum(jnp.abs(cool), axis=0) + jnp.abs(cr_heat)
+                       + jnp.abs(pe_heat_dec))
             conv = jnp.abs(F) < 1e-10 * jnp.maximum(compare, 1e-300)
             E_new = jnp.where(done | conv, E, E - F / J)
             return n + 1, done | conv, E_new

@@ -228,6 +228,18 @@ class Problem:
 
         return jnp.zeros(jnp.shape(T))
 
+    def compute_thermal_radiation_multigroup(self, T, boundaries):
+        """Override the per-group thermal emission B_g(T) (reference
+        `ComputeThermalRadiationMultiGroup` specialization; RadDustMG uses a
+        modified blackbody B = a_rad T x Planck fractions). Return [G, ...]
+        or None for the default a_rad T^4 x Planck fractions."""
+        return None
+
+    def compute_thermal_radiation_temp_derivative_multigroup(self, T, boundaries):
+        """dB_g/dT matching `compute_thermal_radiation_multigroup`;
+        None selects the default 4 a_rad T^3 x fractions."""
+        return None
+
     def define_opacity_exponents_and_lower_values(self, boundaries, rho, T):
         """PPL opacity model: per-group power-law exponent alpha_g and
         opacity at the group's lower edge kappa_g(nu_g), both [G, ...]
