@@ -336,8 +336,7 @@ def rk2_stage(
     Ug_old: jnp.ndarray,
     fluxes: dict,
     facevels: dict,
-    fo_fluxes: dict,
-    fo_facevels: dict,
+    fo_fluxes_fn,
     dt,
     ng: Sequence[int],
     periodic: Sequence[bool],
@@ -383,6 +382,11 @@ def rk2_stage(
     from jax import lax as _lax
 
     def _redo_branch(_):
+        # the first-order backup sweep is computed HERE, inside the cond:
+        # the common all-valid step never pays for it (the reference
+        # computes computeFOHydroFluxes unconditionally every stage,
+        # src/QuokkaSimulation.hpp:1096)
+        fo_fluxes, fo_facevels = fo_fluxes_fn()
         mask_p = mask_fill_fn(redo)
         fl2, fv2 = _blend_fofc(fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts)
         U_new = apply(fl2, fv2, mask_p)
@@ -425,10 +429,10 @@ def advance_hydro_rk2(
 
     # ---- stage 1
     Ug0 = fill_fn(U)
-    fo_fluxes, fo_facevels = compute_fluxes(Ug0, opts, first_order=True)
+    fo_fluxes_fn = lambda: compute_fluxes(Ug0, opts, first_order=True)
     fluxes1, facevels1 = compute_fluxes(Ug0, opts)
     U1, fl1, fv1, n_fofc1 = rk2_stage(
-        U, Ug0, fluxes1, facevels1, fo_fluxes, fo_facevels, dt, ng, periodic, opts,
+        U, Ug0, fluxes1, facevels1, fo_fluxes_fn, dt, ng, periodic, opts,
         mask_fill_fn, redo_any_fn,
     )
     U1 = euler.enforce_limits(
@@ -449,7 +453,7 @@ def advance_hydro_rk2(
     flux_avg = {d: 0.5 * (fl1[d] + fluxes2[d]) for d in fl1}
     vel_avg = {d: 0.5 * (fv1[d] + facevels2[d]) for d in fv1}
     U2, fl2, _, n_fofc2 = rk2_stage(
-        U, Ug0, flux_avg, vel_avg, fo_fluxes, fo_facevels, dt, ng, periodic, opts,
+        U, Ug0, flux_avg, vel_avg, fo_fluxes_fn, dt, ng, periodic, opts,
         mask_fill_fn, redo_any_fn,
     )
     U2 = euler.enforce_limits(

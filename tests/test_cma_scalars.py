@@ -14,31 +14,9 @@ from quokka_tpu.problems.shocktube import ShocktubeProblem
 from quokka_tpu.registry import PhysicsTraits
 
 
-class ShocktubeCMA(ShocktubeProblem):
-    name = "HydroShocktubeCMA"
-    physics = PhysicsTraits(hydro_enabled=True, n_scalars=2, n_mscalars=2)
-
-    def set_initial_conditions(self, grid):
-        U = super().set_initial_conditions(grid)
-        # pad to the larger layout and split rho into two species 60/40
-        nvar = self.physics.layout().nvar
-        full = jnp.zeros((nvar, *grid.n_cell))
-        full = full.at[:U.shape[0]].set(U)
-        full = full.at[SCALAR0].set(0.6 * U[RHO])
-        full = full.at[SCALAR0 + 1].set(0.4 * U[RHO])
-        return full
-
-    def fill_user_boundary(self, Ug, grid, ng, time, axis, side):
-        Ug = super().fill_user_boundary(Ug, grid, ng, time, axis, side)
-        g = ng[0]
-        rho, _ = self._state_lr(left=(side == 0))
-        sl = slice(0, g) if side == 0 else slice(-g, None)
-        Ug = Ug.at[SCALAR0, sl].set(0.6 * rho)
-        Ug = Ug.at[SCALAR0 + 1, sl].set(0.4 * rho)
-        return Ug
-
-    def compute_reference_solution(self, sim):
-        return None  # CMA consistency is the check here
+from quokka_tpu.problems.infrastructure import (
+    ShocktubeCMAProblem as ShocktubeCMA,
+)
 
 
 def test_cma_species_sum_to_density():

@@ -69,24 +69,9 @@ def test_strang_cooling_analytic():
     np.testing.assert_allclose(eint1, exact, rtol=1e-3)
 
 
-class CoolingBox(Problem):
-    name = "CoolingBox"
-    physics = PhysicsTraits(hydro_enabled=True)
-    eos_traits = EOSTraits(gamma=5.0 / 3.0)
-    cooling_table = _power_law_table()
-
-    rho0 = 1.0e-24
-    T0 = 1.0e6
-
-    def set_initial_conditions(self, grid):
-        shape = grid.n_cell
-        eos = self.eos_traits.make_eos()
-        eint = float(eos.eint_from_tgas(self.rho0, self.T0))
-        zeros = jnp.zeros(shape)
-        return jnp.stack([
-            jnp.full(shape, self.rho0), zeros, zeros, zeros,
-            jnp.full(shape, eint), jnp.full(shape, eint),
-        ])
+from quokka_tpu.problems.infrastructure import (
+    CoolingProblem as CoolingBox,
+)
 
 
 def test_cooling_in_evolve_loop():

@@ -22,34 +22,9 @@ P0 = 1.0 / GAMMA
 AMP = 1.0e-6
 
 
-class FCQuantities(Problem):
-    name = "FCQuantities"
-    physics = PhysicsTraits(hydro_enabled=True, mhd_enabled=True)
-    eos_traits = EOSTraits(gamma=GAMMA)
-
-    def set_initial_conditions(self, grid):
-        # small-amplitude sound wave (reference computeWaveSolution)
-        x, _y, _z = grid.cell_center_mesh()
-        shape = grid.n_cell
-        drho = AMP * jnp.sin(2.0 * jnp.pi * x)
-        rho = jnp.broadcast_to(RHO0 + drho, shape)
-        mom = jnp.broadcast_to(-drho, shape)
-        eint = jnp.broadcast_to(P0 / (GAMMA - 1.0) + 1.5 * drho, shape)
-        zeros = jnp.zeros(shape)
-        return jnp.stack([rho, mom, zeros, zeros,
-                          eint + 0.5 * mom**2 / rho, eint])
-
-    def set_initial_conditions_fc(self, grid):
-        # B = (1, sqrt(2), 1/2) on the faces (reference test values)
-        fcs = []
-        Bvals = (1.0, np.sqrt(2.0), 0.5)
-        for d in range(3):
-            shp = list(grid.n_cell)
-            shp[d] += 1
-            fc = jnp.zeros((2, *shp))  # [v_face, B] per dim
-            fc = fc.at[1].set(Bvals[d])
-            fcs.append(fc)
-        return fcs
+from quokka_tpu.problems.infrastructure import (
+    FCQuantitiesProblem as FCQuantities,
+)
 
 
 CFG = """

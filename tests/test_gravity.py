@@ -52,33 +52,9 @@ def test_poisson_periodic_consistency():
     np.testing.assert_allclose(np.asarray(lap), np.asarray(rhs), atol=1e-8)
 
 
-class BinaryOrbit(Problem):
-    """Two equal-mass particles on a circular orbit in a near-vacuum gas."""
-
-    name = "BinaryOrbitCIC"
-    physics = PhysicsTraits(hydro_enabled=True, gravity_enabled=True)
-    eos_traits = EOSTraits(gamma=5.0 / 3.0)
-
-    G = 1.0
-    M = 0.1  # per particle
-    sep = 0.25
-
-    def set_initial_conditions(self, grid):
-        shape = grid.n_cell
-        rho = jnp.full(shape, 1.0e-10)
-        eint = jnp.full(shape, 1.0e-12)
-        zeros = jnp.zeros(shape)
-        return jnp.stack([rho, zeros, zeros, zeros, eint, eint])
-
-    def create_initial_particles(self, grid):
-        # circular orbit: v^2 = G M_other / (2*sep/2)... for two bodies of
-        # mass M separated by d: v = sqrt(G M / (2 d))
-        d = self.sep
-        v = np.sqrt(self.G * self.M / (2 * d))
-        x = np.array([[0.5 - d / 2, 0.5, 0.5], [0.5 + d / 2, 0.5, 0.5]])
-        vel = np.array([[0.0, -v, 0.0], [0.0, v, 0.0]])
-        mass = np.array([self.M, self.M])
-        return ParticleData(jnp.asarray(x), jnp.asarray(vel), jnp.asarray(mass))
+from quokka_tpu.problems.infrastructure import (
+    BinaryOrbitCICProblem as BinaryOrbit,
+)
 
 
 def test_binary_orbit():

@@ -18,30 +18,9 @@ P0 = 1.0 / GAMMA  # so cs = 1
 AMP = 1.0e-6
 
 
-class SoundWave(Problem):
-    name = "HydroWave"
-    physics = PhysicsTraits(hydro_enabled=True)
-    eos_traits = EOSTraits(gamma=GAMMA)
-
-    def set_initial_conditions(self, grid):
-        x = grid.cell_centers(0)[:, None, None]
-        shape = grid.n_cell
-        cs = np.sqrt(GAMMA * P0 / RHO0)
-        pert = AMP * jnp.sin(2.0 * jnp.pi * x)
-        # right-going sound wave eigenvector: (drho, dv, dP) = (1, cs/rho0, cs^2)
-        rho = RHO0 + pert
-        v = cs / RHO0 * pert
-        P = P0 + cs * cs * pert
-        eint = P / (GAMMA - 1.0)
-        zeros = jnp.zeros(shape)
-        U = jnp.stack([
-            jnp.broadcast_to(rho, shape),
-            jnp.broadcast_to(rho * v, shape),
-            zeros, zeros,
-            jnp.broadcast_to(eint + 0.5 * rho * v * v, shape),
-            jnp.broadcast_to(eint, shape),
-        ])
-        return U
+from quokka_tpu.problems.infrastructure import (
+    HydroWaveProblem as SoundWave,
+)
 
 
 def _wave_error(nx: int, cfl: float) -> float:

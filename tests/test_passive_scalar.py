@@ -10,28 +10,9 @@ from quokka_tpu.indices import EGAS, EINT, MX1, RHO, SCALAR0
 from quokka_tpu.registry import EOSTraits, PhysicsTraits, Problem
 
 
-class ScalarAdvection(Problem):
-    name = "PassiveScalar"
-    physics = PhysicsTraits(hydro_enabled=True, n_scalars=1)
-    eos_traits = EOSTraits(gamma=1.4)
-
-    rho0, P0, v0 = 1.0, 1.0, 1.0
-
-    def set_initial_conditions(self, grid):
-        x = grid.cell_centers(0)[:, None, None]
-        shape = grid.n_cell
-        scal = jnp.exp(-((x - 0.3) ** 2) / 0.005)
-        g = self.eos_traits.gamma
-        eint = self.P0 / (g - 1.0)
-        zeros = jnp.zeros(shape)
-        return jnp.stack([
-            jnp.full(shape, self.rho0),
-            jnp.full(shape, self.rho0 * self.v0),
-            zeros, zeros,
-            jnp.full(shape, eint + 0.5 * self.rho0 * self.v0**2),
-            jnp.full(shape, eint),
-            jnp.broadcast_to(scal, shape),
-        ])
+from quokka_tpu.problems.infrastructure import (
+    PassiveScalarProblem as ScalarAdvection,
+)
 
 
 def test_passive_scalar_advection():

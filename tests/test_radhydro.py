@@ -23,32 +23,9 @@ RHO0 = 1.0
 A_RAD = 1.0
 
 
-class UniformAdvecting(Problem):
-    name = "RadhydroUniformAdvecting"
-    physics = PhysicsTraits(hydro_enabled=True, radiation_enabled=True)
-    eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=1.0, boltzmann_constant=1.0)
-    rad = RadTraits(
-        c_light=C, c_hat=CHAT, radiation_constant=A_RAD, Erad_floor=0.0, beta_order=1
-    )
-
-    def compute_planck_opacity(self, rho, T):
-        return jnp.full_like(rho, KAPPA0)
-
-    def set_initial_conditions(self, grid):
-        shape = grid.n_cell
-        layout = self.physics.layout()
-        eos = self.make_eos()
-        eint = float(eos.eint_from_tgas(RHO0, T0))
-        Erad0 = A_RAD * T0**4
-        U = jnp.zeros((layout.nvar, *shape))
-        U = U.at[RHO].set(RHO0)
-        U = U.at[MX1].set(RHO0 * V0)
-        U = U.at[EGAS].set(eint + 0.5 * RHO0 * V0**2)
-        U = U.at[EINT].set(eint)
-        U = U.at[layout.rad_index(0, 0)].set(Erad0)
-        # lab-frame equilibrium flux to O(v/c): F = (4/3) v E_rad
-        U = U.at[layout.rad_index(0, 1)].set(4.0 / 3.0 * V0 * Erad0)
-        return U
+from quokka_tpu.problems.infrastructure import (
+    RadhydroUniformAdvectingProblem as UniformAdvecting,
+)
 
 
 def test_uniform_advecting_stays_uniform():

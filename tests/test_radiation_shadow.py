@@ -29,45 +29,9 @@ KAPPA_CLOUD = 200.0  # optical depth across the clump ~ 200*0.1 = 20
 KAPPA_BG = 1.0e-8
 
 
-class ShadowProblem(Problem):
-    name = "RadShadow"
-    physics = PhysicsTraits(hydro_enabled=False, radiation_enabled=True)
-    # tiny mean molecular weight => enormous heat capacity: the clump is a
-    # pure absorber (negligible re-emission over the run)
-    eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=1.0e-8, boltzmann_constant=1.0)
-    rad = RadTraits(c_light=C, c_hat=CHAT, radiation_constant=1.0,
-                    Erad_floor=ERAD0, beta_order=0)
-    bcs = BCSpec(x=(BC_USER, BC_OUTFLOW), y=(BC_OUTFLOW, BC_OUTFLOW))
-
-    def compute_planck_opacity(self, rho, T):
-        # rho encodes the clump: opacity proportional to density
-        return jnp.where(rho > 1.5, KAPPA_CLOUD, KAPPA_BG)
-
-    def set_initial_conditions(self, grid):
-        x, y, _ = grid.cell_center_mesh()
-        shape = grid.n_cell
-        layout = self.physics.layout()
-        # dense circular clump at (0.5, 0.5), radius 0.1
-        r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2
-        rho = jnp.where(r2 < 0.01, 10.0, 1.0)
-        rho = jnp.broadcast_to(rho, shape)
-        U = jnp.zeros((layout.nvar, *shape))
-        U = U.at[RHO].set(rho)
-        U = U.at[EGAS].set(1.0e-5).at[EINT].set(1.0e-5)
-        U = U.at[layout.rad_index(0, 0)].set(ERAD0)
-        return U
-
-    def fill_user_boundary(self, Ug, grid, ng, time, axis, side):
-        assert axis == 0 and side == 0
-        g = ng[0]
-        layout = self.physics.layout()
-        iE, iFx = layout.rad_index(0, 0), layout.rad_index(0, 1)
-        nvar = Ug.shape[0]
-        vals = jnp.zeros((nvar,), dtype=Ug.dtype)
-        vals = vals.at[RHO].set(1.0).at[EGAS].set(1.0e-5).at[EINT].set(1.0e-5)
-        vals = vals.at[iE].set(1.0).at[iFx].set(C * 1.0)
-        block = jnp.broadcast_to(vals[:, None, None, None], (nvar, g, *Ug.shape[2:]))
-        return Ug.at[:, :g].set(block)
+from quokka_tpu.problems.infrastructure import (
+    RadShadowProblem as ShadowProblem,
+)
 
 
 def test_shadow_preserved():
