@@ -57,8 +57,12 @@ class RadMarshakDustProblem(Problem):
                             n_groups=N_GROUPS)
     eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=MU,
                            boltzmann_constant=1.0)
+    # beta_order = 0 (reference test_radiation_marshak_dust.cpp:65): with
+    # hydro disabled the FUV momentum deposition grows v without bound, and
+    # any beta-order work term would feed that unphysical velocity back
+    # into the energy exchange
     rad = RadTraits(c_light=C_CODE, c_hat=CHAT, radiation_constant=A_RAD,
-                    Erad_floor=ERAD_FLOOR, beta_order=1, group_edges=EDGES)
+                    Erad_floor=ERAD_FLOOR, beta_order=0, group_edges=EDGES)
     ism = ISMTraits(
         enable_dust_gas_thermal_coupling_model=True,
         enable_photoelectric_heating=False,
@@ -223,4 +227,59 @@ class RadDustMGProblem(Problem):
         U = U.at[EINT].set(eint)
         for g in range(4):
             U = U.at[layout.rad_index(g, 0)].set(DMG_FLOOR)
+        return U
+
+
+# ------------------------------------------------------- single-group variant
+# (reference ``src/problems/RadDust/test_rad_dust.cpp`` run with
+# tests/RadDust.in): the same uniform gas-dust-radiation relaxation as
+# RadDustMG but through the SINGLE-group dust solver, with the linearized
+# emission B(T_d) = a_rad T_d (test_rad_dust.cpp:82-92).  The radiation-dust
+# coupling (c chi = 1e12/s) is instantaneous on the step scale, so the slow
+# dynamics reduce to the same manifold as RadDustMG and `exact_trajectory`
+# applies unchanged (the reference validates both against the same
+# extern/data/dust/rad_dust_exact.csv trajectory; tolerance 8e-4).
+@register_problem
+class RadDustProblem(Problem):
+    name = "RadDust"
+    physics = PhysicsTraits(hydro_enabled=True, radiation_enabled=True,
+                            n_groups=1)
+    eos_traits = EOSTraits(gamma=5.0 / 3.0, mean_molecular_weight=1.0,
+                           boltzmann_constant=1.0)
+    rad = RadTraits(c_light=DMG_C, c_hat=DMG_C, radiation_constant=DMG_ARAD,
+                    Erad_floor=DMG_FLOOR, beta_order=1)
+    ism = ISMTraits(
+        enable_dust_gas_thermal_coupling_model=True,
+        enable_photoelectric_heating=False,
+        dust_gas_coeff=DMG_COEFF,  # tests/RadDust.in
+        mean_molecular_mass=1.0,
+    )
+    bcs = BCSpec()  # periodic
+
+    def compute_group_opacities(self, boundaries, rho, T):
+        return (DMG_CHI / rho)[None]
+
+    def compute_planck_opacity(self, rho, T):
+        return DMG_CHI / rho
+
+    compute_energy_opacity = compute_planck_opacity
+    compute_flux_opacity = compute_planck_opacity
+
+    def compute_thermal_radiation_multigroup(self, T, boundaries):
+        return (DMG_ARAD * T)[None]
+
+    def compute_thermal_radiation_temp_derivative_multigroup(self, T, boundaries):
+        return (DMG_ARAD * jnp.ones_like(T))[None]
+
+    exact_trajectory = staticmethod(RadDustMGProblem.exact_trajectory)
+
+    def set_initial_conditions(self, grid):
+        shape = grid.n_cell
+        layout = self.physics.layout()
+        eint = DMG_CV * DMG_T0 * jnp.ones(shape)
+        U = jnp.zeros((layout.nvar, *shape))
+        U = U.at[RHO].set(1.0)
+        U = U.at[EGAS].set(eint)
+        U = U.at[EINT].set(eint)
+        U = U.at[layout.rad_index(0, 0)].set(DMG_FLOOR)
         return U

@@ -101,3 +101,42 @@ class RadMatterCouplingProblem(Problem):
             -(4.0 / ALPHA_SUOLSON) * (arad + ALPHA_SUOLSON / 4.0) * kappa * RHO0 * c * t
         ) + E0
         return T4**0.25
+
+
+# ---------------------------------------------------------------- RSLA variant
+# (reference ``src/problems/RadMatterCouplingRSLA``): the same coupling
+# with a REDUCED speed of light chat = 0.1 c.  With the Su-Olson EOS the
+# coupling ODE is linear in T^4, so the RSLA trajectory has the closed
+# form used as the reference's exact solution (rel-L1 tolerance 5e-5):
+#   T^4(t) = (T0^4 - (chat/c) E0') e^{-(4/alpha)(a + (chat/c) alpha/4) kappa rho c t}
+#            + (chat/c) E0',
+#   E0' = ((c/chat) Erad0 + Egas0) / (a + (chat/c) alpha/4).
+C_RSLA = 0.1 * C_LIGHT_CGS
+
+
+@register_problem
+class RadMatterCouplingRSLAProblem(RadMatterCouplingProblem):
+    name = "RadMatterCouplingRSLA"
+    rad = RadTraits(
+        c_light=C_LIGHT_CGS,
+        c_hat=C_RSLA,
+        radiation_constant=A_RAD_CGS,
+        Erad_floor=0.0,
+        beta_order=1,
+    )
+
+    @staticmethod
+    def exact_Tgas_rsla(t):
+        t = np.asarray(t)
+        c = C_LIGHT_CGS
+        cr = C_RSLA
+        kappa = 1.0
+        arad = A_RAD_TEST
+        T0_4 = 4.0 * EGAS0 / ALPHA_SUOLSON
+        E0_rsla = ((c / cr) * ERAD0 + EGAS0) / (arad + (cr / c) * ALPHA_SUOLSON / 4.0)
+        T4 = ((T0_4 - (cr / c) * E0_rsla)
+              * np.exp(-(4.0 / ALPHA_SUOLSON)
+                       * (arad + (cr / c) * ALPHA_SUOLSON / 4.0)
+                       * kappa * RHO0 * c * t)
+              + (cr / c) * E0_rsla)
+        return T4**0.25

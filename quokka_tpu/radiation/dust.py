@@ -39,6 +39,21 @@ MAX_OUTER_ITER = 5
 LAG_TOL = 1.0e-13
 BIG = 1.0e100
 
+# eager-mode diagnostics sink (set to a dict by debug scripts; never used
+# under jit in production)
+DEBUG_STASH = None
+
+
+def _stash(**kwargs):
+    """Record eager-mode diagnostics; no-op under tracing."""
+    import jax
+
+    if DEBUG_STASH is None:
+        return
+    if any(isinstance(v, jax.core.Tracer) for v in kwargs.values()):
+        return
+    DEBUG_STASH.update(kwargs)
+
 
 def _dust_temperature(T_gas, rho, Erad0, coeff_n, dt, opts, fourPiB_fn,
                       opacity_PE):
@@ -334,6 +349,14 @@ def add_source_terms_gas_dust(
         bad = bad | jnp.logical_not(jnp.isfinite(T_d))
         need_fb = bad
 
+        if DEBUG_STASH is not None:
+            _stash(
+                n_iters=_n, done=_done, coupled=coupled, need_fb=need_fb,
+                Egas_newton=Egas_g, Erad_newton=Erad_g, R_newton=R_g,
+                T_d_newton=T_d, T_d0=T_d0, lambda_gd_dt=lambda_gd_dt,
+                coeff_n=coeff_n, Etot0=Etot0, Egas0=Egas0, Erad0=Erad0,
+            )
+
         def fb_eval(T_d_try):
             B_g = fourPiB_groups(T_d_try)
             z_ = jnp.zeros_like(B_g)
@@ -397,6 +420,9 @@ def add_source_terms_gas_dust(
             Erad_g = jnp.where(need_fb[None], Erad_fb, Erad_g)
             R_g = jnp.where(need_fb[None], R_fb, R_g)
             T_d = jnp.where(need_fb, T_d_fb, T_d)
+
+            if DEBUG_STASH is not None:
+                _stash(T_d_fb=T_d_fb, Egas_fb=Egas_fb, R_fb=R_fb, fb_resid=_r)
 
         # ---- decoupled cells: scalar backward-Euler gas update with the
         # frozen gas-dust exchange + cooling (reference :515-545)

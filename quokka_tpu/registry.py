@@ -94,7 +94,10 @@ class ISMTraits:
     enable_photoelectric_heating: bool = False
     gas_dust_coupling_threshold: float = 1.0e-6
     # Lambda_gd = coeff * n_H^2 sqrt(T) (T - T_d); Bate & Keto (2015) eq. 18
-    dust_gas_coeff: float = 2.63e-34
+    # (reference default dustGasInteractionCoeff_ = 2.5e-34 erg cm^3/s/K^1.5,
+    # QuokkaSimulation.hpp:127, overridable via
+    # radiation.dust_gas_interaction_coeff)
+    dust_gas_coeff: float = 2.5e-34
     # mass per hydrogen nucleus: n_H = rho / mean_molecular_mass
     # (reference RadSystem_Traits::mean_molecular_mass)
     mean_molecular_mass: float = 1.0

@@ -102,3 +102,47 @@ verbose = 0
     # the FUV group is not consumed by PE in this transparent setup
     # (heating draws at the constant initial rate, reference Erad_FUV = 1)
     assert Erad_fuv == pytest.approx(1.0, rel=0.05)
+
+
+def test_rad_dust_single_group_relaxation():
+    """Single-group dust coupling (reference RadDust,
+    ``test_rad_dust.cpp``): same relaxation trajectory through the G=1
+    dust solver with linearized emission B = a_rad T_d; rel-L1 8e-4."""
+    from quokka_tpu.problems.rad_dust import DMG_ARAD, DMG_CV, RadDustProblem
+
+    pp = ParmParse.from_string("""
+geometry.prob_lo = 0.0 0.0 0.0
+geometry.prob_hi = 1.0 1.0 1.0
+amr.n_cell = 4 1 1
+constant_dt = 1.0e-8
+stop_time = 1.0e-5
+radiation.cfl = 8.0
+max_timesteps = 100000
+verbose = 0
+""")
+    prob = RadDustProblem()
+    sim = Simulation(prob, pp)
+    sim.set_initial_conditions()
+
+    rad = sim._radiation
+    U = sim.U
+    dt, chunk = 1.0e-8, 50
+    layout = sim.layout
+    ts, Tgas_n, Trad_n = [], [], []
+    for i in range(20):  # 1000 steps total
+        U = rad.run_steps(U, i * chunk * dt, dt, chunk)
+        t = (i + 1) * chunk * dt
+        Egas = float(U[EGAS][0, 0, 0])
+        Er = float(U[layout.rad_index(0, 0)][0, 0, 0])
+        ts.append(t)
+        Tgas_n.append(Egas / DMG_CV)
+        Trad_n.append(Er / DMG_ARAD)
+    sim.U = U
+
+    Tgas_e, Trad_e = prob.exact_trajectory(ts)
+    err = (np.abs(np.array(Tgas_n) - Tgas_e).sum()
+           + np.abs(np.array(Trad_n) - Trad_e).sum())
+    sol = np.abs(Tgas_e).sum() + np.abs(Trad_e).sum()
+    rel = err / sol
+    # reference tolerance (test_rad_dust.cpp:216)
+    assert rel < 8e-4, rel

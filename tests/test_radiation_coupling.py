@@ -56,3 +56,46 @@ def test_matter_coupling_exact():
     rel_err = np.sum(np.abs(Tgas_hist - Tgas_exact)) / np.sum(np.abs(Tgas_exact))
     print(f"relative L1 error norm = {rel_err:.3e}")
     assert rel_err < 2e-5
+
+
+def test_matter_coupling_rsla_exact():
+    """RSLA variant (reference RadMatterCouplingRSLA): with chat = 0.1 c
+    the trajectory follows the closed-form RSLA solution to rel-L1 5e-5
+    (``test_radiation_matter_coupling_rsla.cpp:232-236``)."""
+    from quokka_tpu.problems.rad_matter_coupling import (
+        RadMatterCouplingRSLAProblem,
+    )
+
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1e5 1e5 1e5
+        amr.n_cell = 4 1 1
+        constant_dt = 1.0e-8
+        stop_time = 1.0e-2
+        max_timesteps = 1000000
+        verbose = 0
+        """
+    )
+    prob = RadMatterCouplingRSLAProblem()
+    sim = Simulation(prob, pp)
+    sim.set_initial_conditions()
+
+    eos = sim.eos
+    dt = 1.0e-8
+    chunk = 100
+    n_chunks = int(round(sim.stop_time / (dt * chunk)))
+    rad = sim._radiation
+    U = sim.U
+    t_hist, Tgas_hist = [], []
+    for i in range(n_chunks):
+        U = rad.run_steps(U, i * chunk * dt, dt, chunk)
+        Egas = float(U[EGAS][0, 0, 0])
+        Tgas_hist.append(float(eos.tgas_from_eint(np.nan, Egas)))
+        t_hist.append((i + 1) * chunk * dt)
+    sim.U = U
+
+    Tgas_hist = np.array(Tgas_hist)
+    Tgas_exact = prob.exact_Tgas_rsla(np.array(t_hist))
+    rel_err = np.sum(np.abs(Tgas_hist - Tgas_exact)) / np.sum(np.abs(Tgas_exact))
+    assert rel_err < 5e-5, rel_err

@@ -1,7 +1,17 @@
 """Streaming FUV into warm dusty gas: the reference's RadMarshakDust
 acceptance test (composite 1% L1 on [T_gas, E_IR, E_FUV] against the
 analytic attenuation/re-emission solution,
-``src/problems/RadMarshakDust/test_radiation_marshak_dust.cpp:230-270``)."""
+``src/problems/RadMarshakDust/test_radiation_marshak_dust.cpp:230-270``).
+
+Timestep note: the reference sets only ``radiationCflNumber_ = 0.8``, but
+for hydro-disabled problems that number is never used — the coarse step is
+``cflNumber_ (default 0.3) * dx / chat`` and radiation takes exactly one
+substep of that size (``subcycleRadiationAtLevel``,
+``QuokkaSimulation.hpp:1585-1592``; ``simulation.hpp:154``).  So the
+reference's actual operating point is CFL 0.3, which we mirror here.  (At
+CFL 0.8 the IMEX front smears to ~2% composite error; at 0.4 it is already
+back under the 1% criterion.)
+"""
 
 import numpy as np
 import pytest
@@ -11,20 +21,13 @@ from quokka_tpu.problems.rad_dust import RadMarshakDustProblem
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="round 2 added a guaranteed-bracket bisection fallback on T_d "
-    "(dust.py) which converges the tau ~ 3e7 front cell itself (NaN onset "
-    "moved from step 0 to step ~14), but cells behind the front still "
-    "lock in early-frozen Newton states that leak FUV energy into the "
-    "gas; the full fix is the reference's per-cell (G+1)-unknown LU "
-    "Newton without freeze-on-converge", strict=False)
 def test_marshak_dust_attenuation():
     pp = ParmParse.from_string("""
 geometry.prob_lo = 0.0 0.0 0.0
 geometry.prob_hi = 1.0 1.0 1.0
-amr.n_cell = 128 1 1
-cfl = 0.8
-radiation.cfl = 0.8
+amr.n_cell = 256 1 1
+cfl = 0.3
+radiation.cfl = 0.3
 radiation.dust_gas_interaction_coeff = 1e-2
 max_dt = 1.0
 stop_time = 0.5
