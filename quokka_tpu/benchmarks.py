@@ -44,6 +44,12 @@ def build_scan_runner(sim, n_steps: int):
         fill = sim._fill
         mask_fill = None
         red_axes = ()
+        if all(periodic):
+            # zero-ghost fast path: roll wrap IS the periodic BC, and the
+            # unpadded lane-aligned layout is ~1.6x faster (see
+            # simulation.py step builder)
+            fill = lambda X: X
+            ng = (0, 0, 0)
 
     def body(carry, _):
         U, dt_prev, t = carry
@@ -100,6 +106,10 @@ def build_step_runner(sim):
         fill = sim._fill
         mask_fill = None
         red_axes = ()
+        if all(periodic):
+            # zero-ghost fast path (see simulation.py step builder)
+            fill = lambda X: X
+            ng = (0, 0, 0)
 
     def step(U, dt_prev):
         smax = jnp.max(euler.max_signal_speed(U, opts.eos))

@@ -279,11 +279,24 @@ class Simulation:
             else:
                 fill_h = self._fill
 
+            # fully periodic domains need NO ghost padding at all: every
+            # stencil operator is a roll (`stencil.sh`), and a roll's wrap IS
+            # the periodic boundary.  Skipping the fill keeps every array at
+            # its natural lane-aligned size (256 vs 264 on the 256^3 bench --
+            # the padded layout is not a multiple of the 128-lane TPU tile
+            # and measurably degrades the bandwidth of every op that touches
+            # it: the fill alone is ~2x 10.7 ms/step at 256^3 f32).  The
+            # radiation transport fast path has done this since round 1.
+            ng_h = ng
+            if all(periodic):
+                fill_h = lambda X: X
+                ng_h = (0, 0, 0)
+
             def step(U, dt):
                 U, ok1 = strang(U, 0.5 * dt)
                 Uh = U[:nh]
                 Uh_new, stats = hydro_advance.advance_hydro_rk2(
-                    Uh, dt, opts, fill_h, ng, periodic
+                    Uh, dt, opts, fill_h, ng_h, periodic
                 )
                 if nh < U.shape[0]:
                     U_new = jnp.concatenate([Uh_new, U[nh:]], axis=0)
@@ -841,6 +854,13 @@ class Simulation:
 
     # -------------------------------------------------------------------- I/O
     def write_plotfile(self, prefix: str = "plt"):
+        # runtime analog of the reference's compile-time QUOKKA_USE_OPENPMD
+        # plotfile-format switch (src/simulation.hpp:2304-2323)
+        if self.pp.get_str("plotfile_format", "native") == "openpmd":
+            from .io.openpmd import write_openpmd
+
+            write_openpmd(self, prefix)
+            return
         from .io.plotfile import write_plotfile
 
         write_plotfile(self, prefix)
