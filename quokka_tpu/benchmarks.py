@@ -31,6 +31,7 @@ def build_scan_runner(sim, n_steps: int):
     cfl = sim.cfl
     dx_min = sim.grid.dx_min
 
+    bc_kinds = None
     if sim.decomp is not None:
         from .parallel.decomp import AXIS_NAMES
         from .parallel.halo import make_sharded_fill, make_sharded_mask_fill
@@ -44,10 +45,16 @@ def build_scan_runner(sim, n_steps: int):
         fill = sim._fill
         mask_fill = None
         red_axes = ()
+        bc_kinds = sim._ghost_free_bc_kinds()
         if all(periodic):
             # zero-ghost fast path: roll wrap IS the periodic BC, and the
             # unpadded lane-aligned layout is ~1.6x faster (see
             # simulation.py step builder)
+            fill = lambda X: X
+            ng = (0, 0, 0)
+            bc_kinds = None
+        elif bc_kinds is not None:
+            # ghost-free wall BCs assembled in the sweep kernels
             fill = lambda X: X
             ng = (0, 0, 0)
 
@@ -58,7 +65,8 @@ def build_scan_runner(sim, n_steps: int):
             smax = lax.pmax(smax, red_axes)
         dt = jnp.minimum(cfl * dx_min / smax, 1.1 * dt_prev)
         U_new, _stats = hydro_advance.advance_hydro_rk2(
-            U, dt, opts, fill, ng, periodic, mask_fill
+            U, dt, opts, fill, ng, periodic, mask_fill,
+            bc_kinds=None if sim.decomp is not None else bc_kinds,
         )
         return (U_new, dt, t + dt), None
 
@@ -92,6 +100,7 @@ def build_step_runner(sim):
     cfl = sim.cfl
     dx_min = sim.grid.dx_min
 
+    bc_kinds = None
     if sim.decomp is not None:
         from .parallel.decomp import AXIS_NAMES
         from .parallel.halo import make_sharded_fill, make_sharded_mask_fill
@@ -106,8 +115,14 @@ def build_step_runner(sim):
         fill = sim._fill
         mask_fill = None
         red_axes = ()
+        bc_kinds = sim._ghost_free_bc_kinds()
         if all(periodic):
             # zero-ghost fast path (see simulation.py step builder)
+            fill = lambda X: X
+            ng = (0, 0, 0)
+            bc_kinds = None
+        elif bc_kinds is not None:
+            # ghost-free wall BCs assembled in the sweep kernels
             fill = lambda X: X
             ng = (0, 0, 0)
 
@@ -117,7 +132,8 @@ def build_step_runner(sim):
             smax = lax.pmax(smax, red_axes)
         dt = jnp.minimum(cfl * dx_min / smax, 1.1 * dt_prev)
         U_new, _stats = hydro_advance.advance_hydro_rk2(
-            U, dt, opts, fill, ng, periodic, mask_fill
+            U, dt, opts, fill, ng, periodic, mask_fill,
+            bc_kinds=None if sim.decomp is not None else bc_kinds,
         )
         return U_new, dt
 
@@ -202,9 +218,19 @@ def bench_radhydro(sim, n_warmup: int = 1, n_steps: int = 5):
         return fill_ghosts(X, sim.ng, sim.problem.bcs, layout_h,
                            problem=sim.problem, grid=sim.grid)
 
+    ng_h = sim.ng
+    bc_kinds = sim._ghost_free_bc_kinds() if sim.decomp is None else None
+    if sim.decomp is None and all(sim.periodic):
+        fill_h = lambda X: X
+        ng_h = (0, 0, 0)
+        bc_kinds = None
+    elif bc_kinds is not None:
+        fill_h = lambda X: X
+        ng_h = (0, 0, 0)
+
     def hydro_step(U):
         Uh_new, _ = hydro_advance.advance_hydro_rk2(
-            U[:nh], dt, opts, fill_h, sim.ng, sim.periodic
+            U[:nh], dt, opts, fill_h, ng_h, sim.periodic, bc_kinds=bc_kinds
         )
         return jnp.concatenate([Uh_new, U[nh:]], axis=0)
 

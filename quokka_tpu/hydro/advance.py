@@ -217,19 +217,29 @@ def _compute_axis_flux(
     return Fout, facevel
 
 
-def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False):
+def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False,
+                   bc_kinds: dict | None = None):
     """All-axis flux computation from a ghost-padded conserved state.
 
     Returns (fluxes, facevels): dicts keyed by axis, arrays in padded face
     coords. `first_order=True` gives the donor-cell + LLF backup fluxes used
     for FOFC (reference `computeFOHydroFluxes`,
-    ``src/QuokkaSimulation.hpp:1520-1570``)."""
+    ``src/QuokkaSimulation.hpp:1520-1570``).
+
+    `bc_kinds` = {axis: (lo,hi)|None} switches to the ghost-free path (see
+    `pallas_sweep.compute_fluxes_pallas`): Ug is then UNPADDED and the
+    return is (fluxes, facevels, flux_hi, vel_hi)."""
     # Pallas custom calls cannot carry f64 operands on TPU (the XLA
     # double-double rewriter does not see inside them): f32 only
     if opts.use_pallas and len(opts.active_axes) == 3 and Ug.dtype == jnp.float32:
         from .pallas_sweep import compute_fluxes_pallas
 
-        return compute_fluxes_pallas(Ug, opts, first_order)
+        return compute_fluxes_pallas(Ug, opts, first_order, bc_kinds)
+    if bc_kinds is not None:
+        raise ValueError(
+            "ghost-free stepping (bc_kinds) requires the Pallas sweep path "
+            "(f32, 3D, hydro.use_pallas=1)"
+        )
 
     prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
 
@@ -252,13 +262,36 @@ def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = Fals
     return fluxes, facevels
 
 
-def rhs_from_fluxes(fluxes: dict, opts: HydroOptions) -> jnp.ndarray:
+def _last_idx_mask(ndim: int, ax: int, n: int):
+    """Broadcastable iota along array axis `ax` (for wall-face fixes on
+    ghost-free arrays)."""
+    from jax import lax
+
+    shape = [1] * ndim
+    shape[ax] = n
+    return lax.broadcasted_iota(jnp.int32, tuple(shape), ax)
+
+
+def rhs_from_fluxes(fluxes: dict, opts: HydroOptions,
+                    flux_hi: dict | None = None) -> jnp.ndarray:
     """Flux divergence: rhs(i) = sum_d (F_d(i) - F_d(i+1)) / dx_d
-    (reference `ComputeRhsFromFluxes`; padded cell coords)."""
+    (reference `ComputeRhsFromFluxes`; padded cell coords).
+
+    On the ghost-free path `flux_hi[d]` holds the hi-wall flux plane that
+    has no slot in the N-face array (slot 0 is the lo wall); the last
+    cell's divergence is patched with it via a fused masked select."""
+    from jax import lax
+
     rhs = None
     for d, F in fluxes.items():
         ax = d + 1
         contrib = (F - sh(F, 1, ax)) / opts.dx[d]
+        if flux_hi is not None and d in flux_hi:
+            n = F.shape[ax]
+            idx = _last_idx_mask(F.ndim, ax, n)
+            F_last = lax.slice_in_dim(F, n - 1, n, axis=ax)
+            Fh = jnp.expand_dims(flux_hi[d], ax)
+            contrib = jnp.where(idx == n - 1, (F_last - Fh) / opts.dx[d], contrib)
         rhs = contrib if rhs is None else rhs + contrib
     return rhs
 
@@ -269,24 +302,47 @@ def add_internal_energy_pdv(
     facevels: dict,
     opts: HydroOptions,
     redo_mask: jnp.ndarray | None = None,
+    vel_hi: dict | None = None,
+    bc_kinds: dict | None = None,
 ) -> jnp.ndarray:
     """-P div(v) source for the auxiliary internal energy (reference
     `AddInternalEnergyPdV`, ``src/hydro/hydro_system.hpp:777-815``).
 
     div(v) uses face-centered velocities; on FOFC-redo cells it falls back to
-    central differences of cell velocities, as the reference does."""
+    central differences of cell velocities, as the reference does.
+
+    Ghost-free path: `vel_hi[d]` patches the hi-wall face velocity into the
+    last cell's divergence, and `bc_kinds` wall-corrects the cell-centered
+    fallback stencils."""
+    from jax import lax
+
     P = euler.pressure(Ug, opts.eos)
     div_face = None
     for d, v in facevels.items():
         c = (sh(v, 1, d) - v) / opts.dx[d]  # v is a 3D spatial field
+        if vel_hi is not None and d in vel_hi:
+            n = v.shape[d]
+            idx = _last_idx_mask(v.ndim, d, n)
+            v_last = lax.slice_in_dim(v, n - 1, n, axis=d)
+            vh = jnp.expand_dims(vel_hi[d], d)
+            c = jnp.where(idx == n - 1, (vh - v_last) / opts.dx[d], c)
         div_face = c if div_face is None else div_face + c
     div_v = div_face
 
     if redo_mask is not None:
+        from ..stencil import sh_bc
+
         div_cc = None
         for d in opts.active_axes:
             vel = Ug[MX1 + d] / Ug[RHO]
-            c = 0.5 * (sh(vel, 1, d) - sh(vel, -1, d)) / opts.dx[d]
+            bc_axis = None if bc_kinds is None else bc_kinds.get(d)
+            if bc_axis is None:
+                vp, vm = sh(vel, 1, d), sh(vel, -1, d)
+            else:
+                lo_k, hi_k = bc_axis
+                vp = sh_bc(vel, 1, d, lo_k, hi_k, odd=True)
+                vm = sh_bc(vel, -1, d, lo_k, hi_k, odd=True)
+            c = 0.5 * (vp - vm) / opts.dx[d]
             div_cc = c if div_cc is None else div_cc + c
         div_v = jnp.where(redo_mask, div_cc, div_face)
 
@@ -318,16 +374,41 @@ def _pad_mask(mask: jnp.ndarray, ng: Sequence[int], periodic: Sequence[bool]) ->
     return out
 
 
-def _blend_fofc(fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts):
+def _blend_fofc(fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts,
+                bc_kinds: dict | None = None,
+                hi_planes: tuple | None = None):
     """Replace fluxes/face velocities with first-order ones on every face
     adjacent to a flagged cell (reference `replaceFluxes`,
-    ``src/QuokkaSimulation.hpp:1325-1369``)."""
+    ``src/QuokkaSimulation.hpp:1325-1369``).
+
+    Ghost-free path: on wall axes the lo-wall face (slot 0) has only one
+    adjacent cell, so the roll wrap of the mask is suppressed there, and
+    the hi-wall planes (`hi_planes` = (flux_hi, vel_hi, fo_flux_hi,
+    fo_vel_hi)) are blended with the last cell's flag."""
+    from jax import lax
+
     new_f, new_v = {}, {}
+    new_fh, new_vh = {}, {}
     for d in fluxes:
-        ax = d + 1
         face_flag = jnp.logical_or(sh(mask_p, -1, d), mask_p)  # mask is [X,Y,Z]
+        wall = bc_kinds is not None and bc_kinds.get(d) is not None
+        if wall:
+            n = mask_p.shape[d]
+            idx = _last_idx_mask(mask_p.ndim, d, n)
+            # slot 0 = lo wall face: flagged only by cell 0 (no wrap)
+            face_flag = jnp.logical_or(
+                jnp.logical_and(sh(mask_p, -1, d), idx > 0), mask_p
+            )
         new_f[d] = jnp.where(face_flag[None], fo_fluxes[d], fluxes[d])
         new_v[d] = jnp.where(face_flag, fo_facevels[d], facevels[d])
+        if wall and hi_planes is not None:
+            flux_hi, vel_hi, fo_flux_hi, fo_vel_hi = hi_planes
+            n = mask_p.shape[d]
+            flag_hi = lax.index_in_dim(mask_p, n - 1, axis=d, keepdims=False)
+            new_fh[d] = jnp.where(flag_hi[None], fo_flux_hi[d], flux_hi[d])
+            new_vh[d] = jnp.where(flag_hi, fo_vel_hi[d], vel_hi[d])
+    if hi_planes is not None:
+        return new_f, new_v, new_fh, new_vh
     return new_f, new_v
 
 
@@ -343,6 +424,9 @@ def rk2_stage(
     opts: HydroOptions,
     mask_fill_fn: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     redo_any_fn: Callable | None = None,
+    bc_kinds: dict | None = None,
+    flux_hi: dict | None = None,
+    vel_hi: dict | None = None,
 ):
     """One flux-application stage with masked FOFC.
 
@@ -363,12 +447,17 @@ def rk2_stage(
     if redo_any_fn is None:
         redo_any_fn = jnp.any
 
-    def apply(fl, fv, redo_mask):
-        rhs = rhs_from_fluxes(fl, opts)
-        rhs = add_internal_energy_pdv(rhs, Ug_old, fv, opts, redo_mask)
+    ghost_free = bc_kinds is not None
+    wall_axes = sorted(flux_hi) if flux_hi else []
+
+    def apply(fl, fv, redo_mask, fl_hi=None, fv_hi=None):
+        rhs = rhs_from_fluxes(fl, opts, fl_hi)
+        rhs = add_internal_energy_pdv(
+            rhs, Ug_old, fv, opts, redo_mask, vel_hi=fv_hi, bc_kinds=bc_kinds
+        )
         return U0_int + dt * interior(rhs, ng)
 
-    U1 = apply(fluxes, facevels, None)
+    U1 = apply(fluxes, facevels, None, flux_hi, vel_hi)
     redo = jnp.logical_not(euler.is_state_valid(U1, opts.eos))
     n_redo = jnp.sum(redo)
 
@@ -381,24 +470,49 @@ def rk2_stage(
     # branch contains the halo-exchange collective for the mask.
     from jax import lax as _lax
 
+    def _pack(fl, fv, fl_hi, fv_hi):
+        axes = sorted(fl)
+        return (
+            tuple(fl[d] for d in axes),
+            tuple(fv[d] for d in axes),
+            tuple(fl_hi[d] for d in wall_axes),
+            tuple(fv_hi[d] for d in wall_axes),
+        )
+
     def _redo_branch(_):
         # the first-order backup sweep is computed HERE, inside the cond:
         # the common all-valid step never pays for it (the reference
         # computes computeFOHydroFluxes unconditionally every stage,
         # src/QuokkaSimulation.hpp:1096)
-        fo_fluxes, fo_facevels = fo_fluxes_fn()
+        if ghost_free:
+            fo_fluxes, fo_facevels, fo_flux_hi, fo_vel_hi = fo_fluxes_fn()
+        else:
+            fo_fluxes, fo_facevels = fo_fluxes_fn()
         mask_p = mask_fill_fn(redo)
+        if ghost_free:
+            fl2, fv2, flh2, fvh2 = _blend_fofc(
+                fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts,
+                bc_kinds, (flux_hi, vel_hi, fo_flux_hi, fo_vel_hi),
+            )
+            U_new = apply(fl2, fv2, mask_p, flh2, fvh2)
+            return (U_new,) + _pack(fl2, fv2, flh2, fvh2)
         fl2, fv2 = _blend_fofc(fluxes, facevels, fo_fluxes, fo_facevels, mask_p, opts)
         U_new = apply(fl2, fv2, mask_p)
-        return U_new, tuple(fl2[d] for d in sorted(fl2)), tuple(fv2[d] for d in sorted(fv2))
+        return (U_new,) + _pack(fl2, fv2, {}, {})
 
     def _clean_branch(_):
-        return U1, tuple(fluxes[d] for d in sorted(fluxes)), tuple(facevels[d] for d in sorted(facevels))
+        return (U1,) + _pack(fluxes, facevels, flux_hi or {}, vel_hi or {})
 
-    U_new, fl_t, fv_t = _lax.cond(redo_any_fn(redo), _redo_branch, _clean_branch, None)
+    U_new, fl_t, fv_t, flh_t, fvh_t = _lax.cond(
+        redo_any_fn(redo), _redo_branch, _clean_branch, None
+    )
     axes = sorted(fluxes)
     fl2 = {d: fl_t[i] for i, d in enumerate(axes)}
     fv2 = {d: fv_t[i] for i, d in enumerate(axes)}
+    flh2 = {d: flh_t[i] for i, d in enumerate(wall_axes)}
+    fvh2 = {d: fvh_t[i] for i, d in enumerate(wall_axes)}
+    if ghost_free:
+        return U_new, fl2, fv2, n_redo, flh2, fvh2
     return U_new, fl2, fv2, n_redo
 
 
@@ -413,6 +527,7 @@ def advance_hydro_rk2(
     fill_fn2: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     return_fluxes: bool = False,
     redo_any_fn: Callable | None = None,
+    bc_kinds: dict | None = None,
 ):
     """Full RK2-SSP hydro step (reference `advanceHydroAtLevel`,
     ``src/QuokkaSimulation.hpp:1033-1325``).
@@ -422,19 +537,38 @@ def advance_hydro_rk2(
     stage-2 state (AMR uses coarse data time-interpolated to t+dt there,
     mirroring the reference's FillPatcher). With `return_fluxes`, stats
     includes the RK-time-averaged face fluxes used for the update (what the
-    reference feeds its flux registers). Returns (U_new, stats_dict)."""
+    reference feeds its flux registers). Returns (U_new, stats_dict).
+
+    `bc_kinds` = {axis: (lo,hi)|None} selects GHOST-FREE stepping: `fill_fn`
+    must be the identity, `ng` all zero, and wall BCs (reflect/outflow) are
+    assembled inside the Pallas sweep kernels -- every array stays at its
+    natural lane-aligned size (the padded layout costs ~1.6x in HBM
+    bandwidth on TPU)."""
     eos = opts.eos
     if fill_fn2 is None:
         fill_fn2 = fill_fn
+    ghost_free = bc_kinds is not None
+    if ghost_free and return_fluxes:
+        raise NotImplementedError("return_fluxes is not supported ghost-free")
 
     # ---- stage 1
     Ug0 = fill_fn(U)
-    fo_fluxes_fn = lambda: compute_fluxes(Ug0, opts, first_order=True)
-    fluxes1, facevels1 = compute_fluxes(Ug0, opts)
-    U1, fl1, fv1, n_fofc1 = rk2_stage(
-        U, Ug0, fluxes1, facevels1, fo_fluxes_fn, dt, ng, periodic, opts,
-        mask_fill_fn, redo_any_fn,
-    )
+    fo_fluxes_fn = lambda: compute_fluxes(Ug0, opts, first_order=True,
+                                          bc_kinds=bc_kinds)
+    if ghost_free:
+        fluxes1, facevels1, flux_hi1, vel_hi1 = compute_fluxes(
+            Ug0, opts, bc_kinds=bc_kinds
+        )
+        U1, fl1, fv1, n_fofc1, flh1, fvh1 = rk2_stage(
+            U, Ug0, fluxes1, facevels1, fo_fluxes_fn, dt, ng, periodic, opts,
+            mask_fill_fn, redo_any_fn, bc_kinds, flux_hi1, vel_hi1,
+        )
+    else:
+        fluxes1, facevels1 = compute_fluxes(Ug0, opts)
+        U1, fl1, fv1, n_fofc1 = rk2_stage(
+            U, Ug0, fluxes1, facevels1, fo_fluxes_fn, dt, ng, periodic, opts,
+            mask_fill_fn, redo_any_fn,
+        )
     U1 = euler.enforce_limits(
         U1, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
     )
@@ -449,13 +583,26 @@ def advance_hydro_rk2(
 
     # ---- stage 2: time-averaged flux  (Heun / RK2-SSP)
     Ug1 = fill_fn2(U1)
-    fluxes2, facevels2 = compute_fluxes(Ug1, opts)
-    flux_avg = {d: 0.5 * (fl1[d] + fluxes2[d]) for d in fl1}
-    vel_avg = {d: 0.5 * (fv1[d] + facevels2[d]) for d in fv1}
-    U2, fl2, _, n_fofc2 = rk2_stage(
-        U, Ug0, flux_avg, vel_avg, fo_fluxes_fn, dt, ng, periodic, opts,
-        mask_fill_fn, redo_any_fn,
-    )
+    if ghost_free:
+        fluxes2, facevels2, flux_hi2, vel_hi2 = compute_fluxes(
+            Ug1, opts, bc_kinds=bc_kinds
+        )
+        flux_avg = {d: 0.5 * (fl1[d] + fluxes2[d]) for d in fl1}
+        vel_avg = {d: 0.5 * (fv1[d] + facevels2[d]) for d in fv1}
+        flux_hi_avg = {d: 0.5 * (flh1[d] + flux_hi2[d]) for d in flh1}
+        vel_hi_avg = {d: 0.5 * (fvh1[d] + vel_hi2[d]) for d in fvh1}
+        U2, fl2, _, n_fofc2, _, _ = rk2_stage(
+            U, Ug0, flux_avg, vel_avg, fo_fluxes_fn, dt, ng, periodic, opts,
+            mask_fill_fn, redo_any_fn, bc_kinds, flux_hi_avg, vel_hi_avg,
+        )
+    else:
+        fluxes2, facevels2 = compute_fluxes(Ug1, opts)
+        flux_avg = {d: 0.5 * (fl1[d] + fluxes2[d]) for d in fl1}
+        vel_avg = {d: 0.5 * (fv1[d] + facevels2[d]) for d in fv1}
+        U2, fl2, _, n_fofc2 = rk2_stage(
+            U, Ug0, flux_avg, vel_avg, fo_fluxes_fn, dt, ng, periodic, opts,
+            mask_fill_fn, redo_any_fn,
+        )
     U2 = euler.enforce_limits(
         U2, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
     )

@@ -39,26 +39,150 @@ from .advance import HydroOptions, _transverse_axes
 from .riemann import FaceState, hllc, llf
 
 
-def precompute_transverse_fields(prim: jnp.ndarray, opts: HydroOptions):
+def precompute_transverse_fields(prim: jnp.ndarray, opts: HydroOptions,
+                                 bc_kinds: dict | None = None):
     """Cheap fused XLA pass: per active axis t, the one-sided min velocity
     difference field dmin_t(c) = min(v_t(c+1_t) - v_t(c), v_t(c) - v_t(c-1_t))
     (used by the carbuncle dw and CW84 artificial viscosity), plus the
     combined flattening coefficient chi_cell = min over axes of the 3-point
-    min of chi_t (reference `FlattenShocks`)."""
+    min of chi_t (reference `FlattenShocks`).
+
+    `bc_kinds` = {axis: (lo_kind, hi_kind)} turns on wall-corrected stencil
+    reads for the ghost-free path (unpadded lane-aligned arrays); None keeps
+    plain roll semantics for ghost-padded inputs."""
+    def shb(A, k, t, odd=False):
+        if bc_kinds is None or bc_kinds.get(t) is None:
+            return sh(A, k, t)
+        from ..stencil import sh_bc
+
+        lo_k, hi_k = bc_kinds[t]
+        return sh_bc(A, k, t, lo_k, hi_k, odd)
+
     dmins = {}
     for t in opts.active_axes:
         v = prim[PVX1 + t]
-        d_plus = sh(v, 1, t) - v
-        d_minus = v - sh(v, -1, t)
+        d_plus = shb(v, 1, t, odd=True) - v
+        d_minus = v - shb(v, -1, t, odd=True)
         dmins[t] = jnp.minimum(d_plus, d_minus)
 
     chi_cell = None
+    chi_ghost = {}
     if opts.use_flattening and opts.reconstruction_order == 3:
+        from ..registry import BC_OUTFLOW
+
+        chis, min3s = {}, {}
         for t in opts.active_axes:
-            chi_t = reconstruct.flattening_chi(prim, t, opts.eos, opts.reconstruct_eint)
-            m = jnp.minimum(jnp.minimum(sh(chi_t, -1, t), chi_t), sh(chi_t, 1, t))
+            bc_axis = None if bc_kinds is None else bc_kinds.get(t)
+            chi_t = reconstruct.flattening_chi(
+                prim, t, opts.eos, opts.reconstruct_eint, bc_axis=bc_axis
+            )
+            chis[t] = chi_t
+            m = jnp.minimum(jnp.minimum(shb(chi_t, -1, t), chi_t), shb(chi_t, 1, t))
+            min3s[t] = m
             chi_cell = m if chi_cell is None else jnp.minimum(chi_cell, m)
+
+        # exact adjacent-ghost chi_cell planes for OUTFLOW walls: with
+        # replicated (foextrap) ghosts the along-axis flattening chi is
+        # identically 1 at every ghost cell (all its stencil differences
+        # vanish bit-exactly), so the padded path's ghost value is
+        #   chi_cell[ghost_adj] = min(chi_d[edge], min_{t != d} min3_t[edge])
+        # -- NOT the edge cell's chi_cell (which also folds in the
+        # next-inward chi_d). The sweep kernels consume only the adjacent
+        # ghost, so one plane per outflow side restores exactness.
+        if bc_kinds is not None:
+            from jax import lax
+
+            for d in opts.active_axes:
+                bc_axis = bc_kinds.get(d)
+                if bc_axis is None:
+                    continue
+                lo_k, hi_k = bc_axis
+                if lo_k != BC_OUTFLOW and hi_k != BC_OUTFLOW:
+                    continue
+                E = None
+                for t in opts.active_axes:
+                    if t == d:
+                        continue
+                    E = min3s[t] if E is None else jnp.minimum(E, min3s[t])
+                n = prim.shape[1 + d]
+                ghost_d = jnp.minimum(chis[d], E) if E is not None else chis[d]
+                lo_pl = (
+                    lax.slice_in_dim(ghost_d, 0, 1, axis=d)
+                    if lo_k == BC_OUTFLOW else None
+                )
+                hi_pl = (
+                    lax.slice_in_dim(ghost_d, n - 1, n, axis=d)
+                    if hi_k == BC_OUTFLOW else None
+                )
+                chi_ghost[d] = (lo_pl, hi_pl)
+
+    if bc_kinds is not None:
+        return dmins, chi_cell, chi_ghost
     return dmins, chi_cell
+
+
+def _assemble_wall_ghosts(blk, ax: int, lo_kind: str, hi_kind: str,
+                          odd_comp: int | None, g: int = 4,
+                          adj_lo=None, adj_hi=None):
+    """Extend a VMEM block by `g` ghost entries on each side of spatial axis
+    `ax`, computing the ghost values from the block's own edge data (the
+    wall BCs are local transforms: reflect = mirrored +- sign flip on the
+    normal component, outflow = edge replication). This reproduces the
+    ghost-padded fill exactly (``boundaries.physical_slabs``) without any
+    HBM-resident padded array. `odd_comp` is the component index (axis 0 of
+    a 4D block) whose sign flips under reflection, or None for an
+    even/scalar block."""
+    from ..registry import BC_REFLECT
+
+    nax = blk.ndim - 3 + ax  # spatial axes are the last three
+    n = blk.shape[nax]
+
+    def take(a, b):
+        idx = [slice(None)] * blk.ndim
+        idx[nax] = slice(a, b)
+        return blk[tuple(idx)]
+
+    def reflect_sign(x):
+        if odd_comp is None:
+            return x
+        # iota+select, not .at[].set (which Mosaic lowers as scatter)
+        from jax import lax
+
+        comp = lax.broadcasted_iota(
+            jnp.int32, (blk.shape[0],) + (1,) * (blk.ndim - 1), 0
+        )
+        sign = jnp.where(comp == odd_comp,
+                         jnp.asarray(-1.0, blk.dtype),
+                         jnp.asarray(1.0, blk.dtype))
+        return x * sign
+
+    # mirror via g static single-entry slices (avoids lax.rev, which Mosaic
+    # may not lower on the lane axis)
+    if lo_kind == BC_REFLECT:
+        lo = jnp.concatenate([take(g - 1 - j, g - j) for j in range(g)], axis=nax)
+        lo = reflect_sign(lo)
+    else:  # outflow / edge extrapolation
+        shape = list(blk.shape)
+        shape[nax] = g - 1 if adj_lo is not None else g
+        lo = jnp.broadcast_to(take(0, 1), shape)
+        if adj_lo is not None:
+            # the wall-adjacent ghost entry (the only one the face stencils
+            # read) gets the exact precomputed value
+            lo = jnp.concatenate([lo, adj_lo], axis=nax)
+
+    if hi_kind == BC_REFLECT:
+        hi = jnp.concatenate(
+            [take(n - 1 - j, n - j) for j in range(g)], axis=nax
+        )
+        hi = reflect_sign(hi)
+    else:
+        shape = list(blk.shape)
+        shape[nax] = g - 1 if adj_hi is not None else g
+        hi = jnp.broadcast_to(take(n - 1, n), shape)
+        if adj_hi is not None:
+            hi = jnp.concatenate([adj_hi, hi], axis=nax)
+
+    return jnp.concatenate([lo, blk, hi], axis=nax)
 
 
 def _sweep_body(prim_blk, chi_blk, dminv_blk, dminw_blk, axis, opts: HydroOptions,
@@ -199,6 +323,12 @@ import os
 _BLOCK_TRANSVERSE = int(os.environ.get("QUOKKA_PALLAS_BT", "8"))
 
 
+def _interpret_mode() -> bool:
+    """Run the kernels interpreted off-TPU so CI (CPU) actually executes the
+    Pallas path; on TPU they compile through Mosaic as before."""
+    return jax.default_backend() != "tpu"
+
+
 def compute_axis_flux_pallas(
     prim: jnp.ndarray,
     axis: int,
@@ -207,10 +337,20 @@ def compute_axis_flux_pallas(
     dmins: dict,
     first_order: bool = False,
     block_transverse: int | None = None,
+    bc_axis: tuple | None = None,
+    chi_ghost_axis: tuple | None = None,
 ):
+    """Single fused kernel: flux + face velocity for one sweep axis.
+
+    With ``bc_axis=(lo_kind, hi_kind)`` the input arrays are UNPADDED
+    (lane-aligned, no ghost zones): the kernel assembles the wall ghosts
+    in VMEM from its own block edges and returns, in addition to the
+    256-slot face arrays (slot i = face between cells i-1 and i, so slot 0
+    is the lo-wall face), the hi-wall flux/facevel planes that do not fit
+    the slot count. Returns (flux, facevel) or
+    (flux, facevel, flux_hi, facevel_hi)."""
     if block_transverse is None:
         block_transverse = _BLOCK_TRANSVERSE
-    """Single fused kernel: flux + face velocity for one sweep axis."""
     nv = prim.shape[0]
     _, X, Y, Z = prim.shape
     dtype = prim.dtype
@@ -235,6 +375,38 @@ def compute_axis_flux_pallas(
             in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
     has_chi, has_v, has_w = flags
 
+    n_sweep = prim.shape[1 + axis]
+    wall = bc_axis is not None
+
+    # 8-wide window blocks along the sweep axis (width-1 blocks on a tiled
+    # dim crash the Mosaic lowering), used for the chi ghost-plane inputs
+    # and the hi-wall flux/facevel plane outputs
+    if wall:
+        pshape4 = tuple(8 if i == 1 + axis else s for i, s in enumerate(shape4))
+        pshape3 = pshape4[1:]
+        pimap4 = lambda *idx: tuple(
+            jnp.zeros_like(idx[0]) if i == 1 + axis else c
+            for i, c in enumerate(imap4(*idx))
+        )
+        pimap3 = lambda *idx: pimap4(*idx)[1:]
+
+    # exact adjacent-ghost chi planes for outflow sides (see
+    # precompute_transverse_fields); broadcast to the 8-wide window form
+    chi_glo = chi_ghi = None
+    if wall and use_chi and chi_ghost_axis is not None:
+        glo, ghi = chi_ghost_axis
+        full3_win = tuple(
+            8 if i == axis else s for i, s in enumerate(chi_cell.shape)
+        )
+        if glo is not None:
+            inputs.append(jnp.broadcast_to(glo, full3_win))
+            in_specs.append(pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM))
+            chi_glo = True
+        if ghi is not None:
+            inputs.append(jnp.broadcast_to(ghi, full3_win))
+            in_specs.append(pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM))
+            chi_ghi = True
+
     def kernel(*refs):
         idx = 0
         prim_ref = refs[idx]; idx += 1
@@ -244,50 +416,156 @@ def compute_axis_flux_pallas(
         idx += int(has_v)
         dw_ref = refs[idx] if has_w else None
         idx += int(has_w)
+        chi_glo_ref = refs[idx] if chi_glo else None
+        idx += int(bool(chi_glo))
+        chi_ghi_ref = refs[idx] if chi_ghi else None
+        idx += int(bool(chi_ghi))
         flux_ref, vel_ref = refs[idx], refs[idx + 1]
+        if wall:
+            flux_hi_ref, vel_hi_ref = refs[idx + 2], refs[idx + 3]
 
         prim_blk = prim_ref[...]
         chi_blk = chi_ref[...] if chi_ref is not None else None
         dv_blk = dv_ref[...] if dv_ref is not None else None
         dw_blk = dw_ref[...] if dw_ref is not None else None
 
-        F, v = _sweep_body(prim_blk, chi_blk, dv_blk, dw_blk, axis, opts, first_order)
-        flux_ref[...] = F
-        vel_ref[...] = v
+        if wall:
+            lo_k, hi_k = bc_axis
+            g = 4
+            prim_blk = _assemble_wall_ghosts(
+                prim_blk, axis, lo_k, hi_k, odd_comp=PVX1 + axis, g=g
+            )
+            if chi_blk is not None:
+                def _adj(ref):
+                    if ref is None:
+                        return None
+                    i = [slice(None)] * 3
+                    i[axis] = slice(0, 1)
+                    return ref[...][tuple(i)]
 
-    flux, facevel = pl.pallas_call(
+                chi_blk = _assemble_wall_ghosts(
+                    chi_blk, axis, lo_k, hi_k, None, g,
+                    adj_lo=_adj(chi_glo_ref), adj_hi=_adj(chi_ghi_ref),
+                )
+            if dv_blk is not None:
+                dv_blk = _assemble_wall_ghosts(dv_blk, axis, lo_k, hi_k, None, g)
+            if dw_blk is not None:
+                dw_blk = _assemble_wall_ghosts(dw_blk, axis, lo_k, hi_k, None, g)
+
+        F, v = _sweep_body(prim_blk, chi_blk, dv_blk, dw_blk, axis, opts, first_order)
+
+        if wall:
+            # assembled face slot g+i = face between cells i-1 and i
+            # (slot g = lo wall); slot g+n = hi wall
+
+            def fslice(A, a, b):
+                i = [slice(None)] * A.ndim
+                i[A.ndim - 3 + axis] = slice(a, b)
+                return A[tuple(i)]
+
+            flux_ref[...] = fslice(F, g, g + n_sweep)
+            vel_ref[...] = fslice(v, g, g + n_sweep)
+            # hi-wall planes are written as an 8-wide tail window along the
+            # sweep axis (last entry = the wall face): width-1 blocks on a
+            # tiled dim crash the Mosaic lowering (lower_to_llo.cc d>>32
+            # check), width 8 satisfies the (8,128) block-shape rule on
+            # every axis orientation
+            flux_hi_ref[...] = fslice(F, g + n_sweep - 7, g + n_sweep + 1)
+            vel_hi_ref[...] = fslice(v, g + n_sweep - 7, g + n_sweep + 1)
+        else:
+            flux_ref[...] = F
+            vel_ref[...] = v
+
+    out_specs = [
+        pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
+        pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+        jax.ShapeDtypeStruct((X, Y, Z), dtype),
+    ]
+    if wall:
+        # hi-wall planes: 8-wide tail window on the sweep axis (sliced to
+        # the last entry after the call)
+        full4 = tuple(8 if i == 1 + axis else s
+                      for i, s in enumerate((nv, X, Y, Z)))
+        out_specs += [
+            pl.BlockSpec(pshape4, pimap4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(full4, dtype),
+            jax.ShapeDtypeStruct(full4[1:], dtype),
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
-            pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
-            jax.ShapeDtypeStruct((X, Y, Z), dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(*inputs)
+    if wall:
+        from jax import lax as _lax
+
+        return (
+            outs[0],
+            outs[1],
+            jnp.squeeze(_lax.slice_in_dim(outs[2], 7, 8, axis=1 + axis),
+                        axis=1 + axis),
+            jnp.squeeze(_lax.slice_in_dim(outs[3], 7, 8, axis=axis),
+                        axis=axis),
+        )
+    flux, facevel = outs
     return flux, facevel
 
 
-def compute_fluxes_pallas(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False):
+def compute_fluxes_pallas(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False,
+                          bc_kinds: dict | None = None):
     """Drop-in replacement for `advance.compute_fluxes` using the fused
-    Pallas sweep kernels."""
+    Pallas sweep kernels.
+
+    With `bc_kinds` = {axis: (lo_kind, hi_kind) | None} the input is an
+    UNPADDED (ghost-free) state: periodic axes (None entries) use roll
+    wrap, wall axes get in-kernel ghost assembly, and the return gains
+    per-axis hi-wall plane dicts: (fluxes, facevels, flux_hi, vel_hi)."""
     from . import euler
 
     prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
+    chi_ghost = {}
     if first_order:
         dmins, chi_cell = {}, None
-    else:
+    elif bc_kinds is None:
         dmins, chi_cell = precompute_transverse_fields(prim, opts)
+    else:
+        dmins, chi_cell, chi_ghost = precompute_transverse_fields(
+            prim, opts, bc_kinds
+        )
 
     fluxes, facevels = {}, {}
+    if bc_kinds is None:
+        for d in opts.active_axes:
+            F, v = compute_axis_flux_pallas(prim, d, opts, chi_cell, dmins, first_order)
+            fluxes[d] = F
+            facevels[d] = v
+        return fluxes, facevels
+
+    flux_hi, vel_hi = {}, {}
     for d in opts.active_axes:
-        F, v = compute_axis_flux_pallas(prim, d, opts, chi_cell, dmins, first_order)
+        bc_axis = bc_kinds.get(d)
+        if bc_axis is None:
+            F, v = compute_axis_flux_pallas(prim, d, opts, chi_cell, dmins, first_order)
+        else:
+            F, v, Fh, vh = compute_axis_flux_pallas(
+                prim, d, opts, chi_cell, dmins, first_order, bc_axis=bc_axis,
+                chi_ghost_axis=chi_ghost.get(d),
+            )
+            flux_hi[d] = Fh
+            vel_hi[d] = vh
         fluxes[d] = F
         facevels[d] = v
-    return fluxes, facevels
+    return fluxes, facevels, flux_hi, vel_hi

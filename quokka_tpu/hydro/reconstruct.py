@@ -123,18 +123,31 @@ def flattening_chi(
     axis: int,
     eos: IdealGasEOS,
     reconstruct_eint: bool,
+    bc_axis=None,
 ) -> jnp.ndarray:
     """Per-cell flattening coefficient chi for sweeps along `axis`
     (reference `ComputeFlatteningCoefficients`,
     ``src/hydro/hydro_system.hpp:531-640``; Miller & Colella 2002 eqs 74-77).
+
+    `bc_axis=(lo_kind, hi_kind)` enables wall-corrected stencil reads on a
+    ghost-free (unpadded) array; None keeps the plain roll semantics for
+    ghost-padded inputs.
     """
     beta_max, beta_min = 0.85, 0.75
     Zmax, Zmin = 0.75, 0.25
     ax = axis  # Pg/vel are 3D spatial fields (no component axis)
 
+    if bc_axis is None:
+        shp = lambda A, k, odd=False: sh(A, k, ax)
+    else:
+        from ..stencil import sh_bc
+
+        lo_k, hi_k = bc_axis
+        shp = lambda A, k, odd=False: sh_bc(A, k, ax, lo_k, hi_k, odd)
+
     Pg = pressure_from_prim(prim, eos, reconstruct_eint)
-    Pp1, Pm1 = sh(Pg, 1, ax), sh(Pg, -1, ax)
-    Pp2, Pm2 = sh(Pg, 2, ax), sh(Pg, -2, ax)
+    Pp1, Pm1 = shp(Pg, 1), shp(Pg, -1)
+    Pp2, Pm2 = shp(Pg, 2), shp(Pg, -2)
 
     beta_denom = jnp.abs(Pp2 - Pm2)
     beta = jnp.where(beta_denom != 0.0, jnp.abs(Pp1 - Pm1) / jnp.where(beta_denom != 0.0, beta_denom, 1.0), 0.0)
@@ -148,7 +161,7 @@ def flattening_chi(
     Z = jnp.abs(Pp1 - Pm1) / K_S
 
     vel = prim[PVX1 + axis]
-    converging = sh(vel, 1, ax) < sh(vel, -1, ax)
+    converging = shp(vel, 1, odd=True) < shp(vel, -1, odd=True)
     chi_conv = jnp.maximum(chi_min, jnp.minimum(1.0, (Zmax - Z) / (Zmax - Zmin)))
     return jnp.where(converging, chi_conv, 1.0)
 

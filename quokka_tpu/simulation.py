@@ -155,6 +155,34 @@ class Simulation:
         self._build_compiled()
 
     # ------------------------------------------------------------- compiled fns
+    def _ghost_free_bc_kinds(self):
+        """{axis: (lo,hi)|None} for GHOST-FREE hydro stepping, or None when
+        ineligible. Eligible = single-device f32 3D Pallas path with every
+        boundary periodic/reflecting/outflow (wall ghosts are then local
+        transforms the sweep kernels can assemble in VMEM; BC_USER / NSCBC
+        hooks need the ghost-padded fill)."""
+        from .registry import BC_OUTFLOW, BC_PERIODIC, BC_REFLECT
+
+        opts = self.hydro_opts
+        if (
+            self.decomp is not None
+            or self.dtype != jnp.float32
+            or not opts.use_pallas
+            or len(opts.active_axes) != 3
+            or int(self.pp.get_int("hydro.ghost_free", 1)) == 0
+        ):
+            return None
+        allowed = (BC_PERIODIC, BC_REFLECT, BC_OUTFLOW)
+        kinds = {}
+        for d in opts.active_axes:
+            lo, hi = self.problem.bcs.axis(d)
+            if lo not in allowed or hi not in allowed:
+                return None
+            # one-sided periodicity never occurs (BCSpec pairs periodic
+            # with periodic); a fully periodic axis needs no wall handling
+            kinds[d] = None if self.periodic[d] else (lo, hi)
+        return kinds
+
     def _fill(self, U, time=0.0):
         return fill_ghosts(
             U, self.ng, self.problem.bcs, self.layout,
@@ -285,10 +313,23 @@ class Simulation:
             # its natural lane-aligned size (256 vs 264 on the 256^3 bench --
             # the padded layout is not a multiple of the 128-lane TPU tile
             # and measurably degrades the bandwidth of every op that touches
-            # it: the fill alone is ~2x 10.7 ms/step at 256^3 f32).  The
-            # radiation transport fast path has done this since round 1.
+            # it: 158.6 -> 100.2 ms/step at 256^3 f32, bitwise identical).
+            # The radiation transport fast path has done this since round 1.
+            #
+            # Reflecting/outflow walls get the same treatment through the
+            # GHOST-FREE path: wall ghosts are local transforms of the
+            # interior (mirror / edge copy), so the Pallas sweep kernels
+            # assemble them in VMEM from their own block edges and return
+            # the hi-wall face fluxes as separate planes; the few prologue
+            # stencils are wall-corrected with fused masked reads
+            # (stencil.sh_bc). No HBM-resident padded array ever exists.
             ng_h = ng
+            bc_kinds_h = self._ghost_free_bc_kinds()
             if all(periodic):
+                fill_h = lambda X: X
+                ng_h = (0, 0, 0)
+                bc_kinds_h = None
+            elif bc_kinds_h is not None:
                 fill_h = lambda X: X
                 ng_h = (0, 0, 0)
 
@@ -296,7 +337,7 @@ class Simulation:
                 U, ok1 = strang(U, 0.5 * dt)
                 Uh = U[:nh]
                 Uh_new, stats = hydro_advance.advance_hydro_rk2(
-                    Uh, dt, opts, fill_h, ng_h, periodic
+                    Uh, dt, opts, fill_h, ng_h, periodic, bc_kinds=bc_kinds_h
                 )
                 if nh < U.shape[0]:
                     U_new = jnp.concatenate([Uh_new, U[nh:]], axis=0)

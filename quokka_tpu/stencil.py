@@ -38,6 +38,67 @@ def interior(A: jnp.ndarray, ng: Sequence[int]) -> jnp.ndarray:
     return A[tuple(idx)]
 
 
+def sh_bc(
+    A: jnp.ndarray,
+    k: int,
+    ax: int,
+    lo_kind: str,
+    hi_kind: str,
+    odd: bool = False,
+) -> jnp.ndarray:
+    """`sh` with physical-wall-corrected values on an UNPADDED spatial field.
+
+    On a ghost-free (lane-aligned) array the roll wrap is only correct for
+    periodic boundaries; for reflecting/outflow walls the handful of
+    positions whose stencil crosses the wall are fixed up with masked reads
+    of the mirrored/edge planes (these fuse into the surrounding elementwise
+    graph -- no extra HBM traffic). `odd=True` flips the sign of reflected
+    values (normal velocity/momentum components). Matches
+    `boundaries.physical_slabs` ghost values exactly (reference
+    reflect_odd/reflect_even/foextrap, ``src/simulation.hpp:1706-1789``).
+
+    `A` is a 3D spatial field and `ax` its array axis. |k| must not exceed
+    the wall-stencil depth the caller owns (<= 4 here).
+    """
+    from jax import lax
+
+    out = sh(A, k, ax)
+    if k == 0:
+        return out
+    from .registry import BC_PERIODIC, BC_REFLECT
+
+    n = A.shape[ax]
+    idx_shape = [1, 1, 1]
+    idx_shape[ax] = n
+    idx = lax.broadcasted_iota(jnp.int32, tuple(idx_shape), ax)
+
+    def plane(src: int):
+        return lax.slice_in_dim(A, src, src + 1, axis=ax)
+
+    sgn = -1.0 if odd else 1.0
+    if k < 0 and lo_kind != BC_PERIODIC:
+        m = -k
+        # out[i] for i < m should read ghost g_{m-1-i}; reflect ghost g_j =
+        # +-A[j], outflow ghost = A[0]
+        for i in range(m):
+            if lo_kind == BC_REFLECT:
+                val = sgn * plane(m - 1 - i)
+            else:  # outflow / anything edge-extrapolated
+                val = plane(0)
+            out = jnp.where(idx == i, val, out)
+    if k > 0 and hi_kind != BC_PERIODIC:
+        # out[i] for i >= n-k should read ghost g_{i+k-n}; reflect ghost
+        # g_j = +-A[n-1-j], outflow ghost = A[n-1]
+        for i in range(k):
+            pos = n - k + i
+            if hi_kind == BC_REFLECT:
+                val = sgn * plane(n - 1 - (pos + k - n))
+            else:
+                val = plane(n - 1)
+            out = jnp.where(idx == pos, val, out)
+    return out
+
+
 def pad_spatial(A: jnp.ndarray, ng: Sequence[int], mode: str = "edge") -> jnp.ndarray:
     """Pad the last three (spatial) axes by `ng` with the given numpy pad mode."""
     pad = [(0, 0)] * (A.ndim - 3) + [(g, g) for g in ng]

@@ -1,0 +1,203 @@
+"""Ghost-free (zero-padding) hydro stepping vs the ghost-padded path.
+
+The ghost-free path keeps every array at its natural lane-aligned size:
+wall ghosts (reflect/outflow) are assembled inside the Pallas sweep kernels
+from their own block edges, hi-wall face fluxes are returned as separate
+planes, and the prologue stencil fields use wall-corrected masked reads
+(`stencil.sh_bc`). Because the wall BCs are local transforms of the
+interior, every assembled value equals the ghost-padded fill's value, so
+the two paths must agree to floating-point identity.
+
+Runs the Pallas kernels in interpret mode off-TPU, which also makes this
+the CI-side execution of the Pallas sweep path itself.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quokka_tpu.boundaries import fill_ghosts
+from quokka_tpu.eos import IdealGasEOS
+from quokka_tpu.hydro import advance as hydro_advance
+from quokka_tpu.indices import EGAS, EINT, MX1, RHO, StateLayout
+from quokka_tpu.registry import BC_OUTFLOW, BC_PERIODIC, BC_REFLECT, BCSpec
+from quokka_tpu.stencil import sh, sh_bc
+
+
+def _make_state(shape, seed=0, rough=False):
+    rng = np.random.default_rng(seed)
+    rho = 1.0 + 0.5 * rng.random(shape)
+    vx = 0.3 * rng.standard_normal(shape)
+    vy = 0.3 * rng.standard_normal(shape)
+    vz = 0.3 * rng.standard_normal(shape)
+    eint = 1.0 + rng.random(shape)
+    if rough:
+        # a deep density/pressure well to push the update invalid and
+        # trigger the masked-FOFC redo branch
+        rho[2, 2, 2] = 1e-4
+        eint[2, 2, 2] = 1e-6
+        vx[3, 2, 2] = 8.0
+        vx[1, 2, 2] = -8.0
+        # strong converging shocks AT the walls: the flattening chi of the
+        # wall-adjacent cells then differs cell-to-cell, which is exactly
+        # where approximate (edge-replicated) chi ghosts would diverge from
+        # the padded path's ghost values
+        n = shape[0]
+        eint[0, :, :] *= 30.0
+        eint[1, :, :] *= 4.0
+        vx[0, :, :] = 2.0
+        vx[1, :, :] = -1.5
+        eint[:, :, n - 1] *= 25.0
+        eint[:, :, n - 2] *= 3.0
+        vz[:, :, n - 1] = -2.0
+        vz[:, :, n - 2] = 1.2
+    ke = 0.5 * rho * (vx**2 + vy**2 + vz**2)
+    U = np.stack([rho, rho * vx, rho * vy, rho * vz, rho * eint + ke, rho * eint])
+    return jnp.asarray(U, jnp.float32)
+
+
+def _opts(n):
+    return hydro_advance.HydroOptions(
+        dx=(1.0 / n, 1.0 / n, 1.0 / n),
+        eos=IdealGasEOS(gamma=1.4),
+        active_axes=(0, 1, 2),
+        reconstruction_order=3,
+        use_pallas=True,
+    )
+
+
+BCS = {
+    "reflect_all": BCSpec(
+        x=(BC_REFLECT, BC_REFLECT),
+        y=(BC_REFLECT, BC_REFLECT),
+        z=(BC_REFLECT, BC_REFLECT),
+    ),
+    "outflow_all": BCSpec(
+        x=(BC_OUTFLOW, BC_OUTFLOW),
+        y=(BC_OUTFLOW, BC_OUTFLOW),
+        z=(BC_OUTFLOW, BC_OUTFLOW),
+    ),
+    "mixed": BCSpec(
+        x=(BC_PERIODIC, BC_PERIODIC),
+        y=(BC_REFLECT, BC_OUTFLOW),
+        z=(BC_OUTFLOW, BC_REFLECT),
+    ),
+}
+
+
+@pytest.mark.parametrize("bc_name", sorted(BCS))
+@pytest.mark.parametrize("rough", [False, True])
+def test_ghostfree_matches_padded(bc_name, rough):
+    n = 16
+    bcs = BCS[bc_name]
+    layout = StateLayout(hydro_enabled=True, radiation_enabled=False)
+    U = _make_state((n, n, n), seed=3, rough=rough)
+    opts = _opts(n)
+    ng = (4, 4, 4)
+    periodic = tuple(bcs.is_periodic(d) for d in range(3))
+    dt = 0.2 / n  # conservative CFL on O(1) signal speeds
+
+    fill = lambda X: fill_ghosts(X, ng, bcs, layout)
+    U_pad, stats_pad = hydro_advance.advance_hydro_rk2(
+        U, dt, opts, fill, ng, periodic
+    )
+
+    bc_kinds = {
+        d: (None if periodic[d] else bcs.axis(d)) for d in range(3)
+    }
+    U_gf, stats_gf = hydro_advance.advance_hydro_rk2(
+        U, dt, opts, lambda X: X, (0, 0, 0), periodic, bc_kinds=bc_kinds
+    )
+
+    assert int(stats_pad["n_fofc"]) == int(stats_gf["n_fofc"])
+    if rough:
+        assert int(stats_pad["n_fofc"]) > 0, "rough state must exercise FOFC"
+    np.testing.assert_allclose(
+        np.asarray(U_gf), np.asarray(U_pad), rtol=0, atol=0,
+        err_msg=f"ghost-free != padded for {bc_name} (rough={rough})",
+    )
+
+
+def test_outflow_chi_ghost_planes_exact():
+    """The prologue's outflow ghost-chi planes equal the padded path's
+    chi_cell at the wall-adjacent ghost positions -- and differ from a naive
+    edge replicate (the along-axis chi is identically 1 at replicate
+    ghosts), so the planes are load-bearing, not decorative."""
+    from quokka_tpu.hydro import euler
+    from quokka_tpu.hydro.pallas_sweep import precompute_transverse_fields
+
+    n = 16
+    U = _make_state((n, n, n), seed=3, rough=True)
+    opts = _opts(n)
+    bcs = BCS["outflow_all"]
+    layout = StateLayout(hydro_enabled=True, radiation_enabled=False)
+    ng = (4, 4, 4)
+    Ug = fill_ghosts(U, ng, bcs, layout)
+
+    prim_pad = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
+    _, chi_pad = precompute_transverse_fields(prim_pad, opts)
+
+    prim = euler.cons_to_prim(U, opts.eos, opts.reconstruct_eint)
+    bc_kinds = {d: bcs.axis(d) for d in range(3)}
+    _, chi, chi_ghost = precompute_transverse_fields(prim, opts, bc_kinds)
+
+    for d in range(3):
+        lo_pl, hi_pl = chi_ghost[d]
+        sl = [slice(4, -4)] * 3
+        sl[d] = slice(3, 4)
+        np.testing.assert_array_equal(np.asarray(chi_pad[tuple(sl)]),
+                                      np.asarray(lo_pl))
+        sl[d] = slice(n + 4, n + 5)
+        np.testing.assert_array_equal(np.asarray(chi_pad[tuple(sl)]),
+                                      np.asarray(hi_pl))
+
+    sl0 = [slice(None)] * 3
+    sl0[0] = slice(0, 1)
+    edge = np.asarray(chi[tuple(sl0)])
+    assert np.max(np.abs(edge - np.asarray(chi_ghost[0][0]))) > 0.1, (
+        "state not sharp: exact ghost chi equals the edge replicate"
+    )
+
+
+def test_sh_bc_matches_padded_fill():
+    """sh_bc on the unpadded field == roll on the ghost-filled field."""
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((8, 9, 10)))
+    g = 4
+    for ax in range(3):
+        for lo, hi in [
+            (BC_REFLECT, BC_REFLECT),
+            (BC_OUTFLOW, BC_OUTFLOW),
+            (BC_REFLECT, BC_OUTFLOW),
+        ]:
+            for odd in (False, True):
+                n = A.shape[ax]
+
+                def take(a, b):
+                    sl = [slice(None)] * 3
+                    sl[ax] = slice(a, b)
+                    return A[tuple(sl)]
+
+                sgn = -1.0 if odd else 1.0
+                if lo == BC_REFLECT:
+                    lo_sl = sgn * jnp.flip(take(0, g), axis=ax)
+                else:
+                    shp = list(A.shape)
+                    shp[ax] = g
+                    lo_sl = jnp.broadcast_to(take(0, 1), shp)
+                if hi == BC_REFLECT:
+                    hi_sl = sgn * jnp.flip(take(n - g, n), axis=ax)
+                else:
+                    shp = list(A.shape)
+                    shp[ax] = g
+                    hi_sl = jnp.broadcast_to(take(n - 1, n), shp)
+                Ap = jnp.concatenate([lo_sl, A, hi_sl], axis=ax)
+                for k in (-4, -2, -1, 1, 2, 4):
+                    want_p = sh(Ap, k, ax)
+                    sl = [slice(None)] * 3
+                    sl[ax] = slice(g, -g)
+                    want = want_p[tuple(sl)]
+                    got = sh_bc(A, k, ax, lo, hi, odd)
+                    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
