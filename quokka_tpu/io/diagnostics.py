@@ -176,13 +176,15 @@ def write_pdf_diagnostic(sim, spec: dict, directory: str = "."):
     return name
 
 
-def compute_derived_field(sim, name: str):
+def compute_derived_field(sim, name: str, U=None):
     """Built-in derived variables (reference per-problem `ComputeDerivedVar`
-    plus common built-ins); falls back to the problem hook."""
+    plus common built-ins); falls back to the problem hook. `U` overrides
+    the state to evaluate on (e.g. a fine AMR level); default level 0."""
     from ..hydro import euler
     from ..indices import EGAS, MX1, MX2, MX3, RHO
 
-    U = sim.U
+    if U is None:
+        U = sim.U
     if name == "gasDensity":
         return U[RHO]
     if name == "pressure":

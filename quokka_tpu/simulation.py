@@ -704,7 +704,8 @@ class Simulation:
         K = self.pp.get_int("fused_window", 16)
         K = min(K, self.max_timesteps - self.istep)
         for iv in (self.plotfile_interval, self.checkpoint_interval,
-                   self.projection_interval, self.statistics_interval):
+                   self.projection_interval, self.statistics_interval,
+                   self.pp.get_int("ascent_interval", -1)):
             if iv > 0:
                 K = min(K, iv - (self.istep % iv))
         if K < 2 or self.t == 0.0 or not np.isfinite(self.dt_prev):
@@ -833,6 +834,11 @@ class Simulation:
             from .io.diagnostics import run_configured_diagnostics
 
             run_configured_diagnostics(self)
+        # in-situ rendering (reference Ascent interval, simulation.hpp:899)
+        if self.pp.get_int("ascent_interval", -1) > 0:
+            from .io.insitu import maybe_render
+
+            maybe_render(self)
         # NB: checkpoint written after plotfile (reference issue #554 ordering)
         if self.checkpoint_interval > 0 and self.istep % self.checkpoint_interval == 0:
             self.write_checkpoint()
