@@ -25,6 +25,45 @@ from jax import lax
 from ..indices import RHO, SCALAR0
 
 
+def _dense_solve(A: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = r for one small dense system ([n,n], n <= ~16) with
+    row-equilibrated Gaussian elimination, statically unrolled.
+
+    Replaces `jnp.linalg.solve`, whose LU custom call cannot run under the
+    TPU f64 emulation (the double-double rewriter does not see inside
+    custom calls) -- this formulation is pure elementwise/slice ops, so the
+    12-species network compiles for both f32 and emulated-f64 on TPU. The
+    backward-Euler matrices I - hJ are diagonally dominated after row
+    equilibration across the integrator's operating range (validated
+    against linalg.solve in tests/test_chemistry.py)."""
+    n = A.shape[0]
+    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+
+    s = jnp.max(jnp.abs(A), axis=1, keepdims=True)
+    s = jnp.where(s > 0, s, jnp.ones_like(s))
+    Ab = jnp.concatenate([A / s, r[:, None] / s], axis=1)
+
+    rows = jnp.arange(n)
+    for k in range(n):
+        piv = Ab[k, k]
+        piv = jnp.where(jnp.abs(piv) > tiny, piv,
+                        jnp.where(piv >= 0, tiny, -tiny))
+        fac = Ab[:, k] / piv
+        Ab = Ab - jnp.where((rows > k)[:, None], fac[:, None] * Ab[k][None, :],
+                            jnp.zeros_like(Ab))
+
+    x = jnp.zeros(n, dtype=A.dtype)
+    for k in reversed(range(n)):
+        acc = Ab[k, n]
+        if k < n - 1:
+            acc = acc - jnp.dot(Ab[k, k + 1:n], x[k + 1:n])
+        piv = Ab[k, k]
+        piv = jnp.where(jnp.abs(piv) > tiny, piv,
+                        jnp.where(piv >= 0, tiny, -tiny))
+        x = x.at[k].set(acc / piv)
+    return x
+
+
 def backward_euler_newton(
     rhs: Callable,
     y0: jnp.ndarray,
@@ -60,7 +99,7 @@ def backward_euler_newton(
             J = jac(yk, p)
             A = eye - h * J
             r = yk - y - h * f
-            dy = jnp.linalg.solve(A, r)
+            dy = _dense_solve(A, r)
             return jnp.maximum(yk - dy, 0.0)  # species stay non-negative
 
         return lax.fori_loop(0, n_newton, newton_body, y)

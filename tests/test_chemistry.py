@@ -55,3 +55,41 @@ def test_renormalize_species():
     out = renormalize_species(y, 1.0, charge=[0.0, 1.0, -1.0])
     np.testing.assert_allclose(float(out[0, 0] + out[0, 1]), 1.0, rtol=1e-12)
     np.testing.assert_allclose(float(out[0, 2]), float(out[0, 1]), rtol=1e-12)
+
+
+def test_dense_solve_matches_linalg():
+    """The unrolled row-equilibrated elimination (`_dense_solve`, which the
+    TPU f64 emulation can compile, unlike linalg.solve's LU custom call)
+    matches linalg.solve on backward-Euler chemistry matrices I - hJ across
+    the stiffness range."""
+    import jax
+    from quokka_tpu.microphysics.chemistry import (
+        PrimordialNetwork, _dense_solve)
+
+    net = PrimordialNetwork()
+    rng = np.random.default_rng(7)
+    jac = jax.jacfwd(lambda y, T: net.rhs(y, T))
+    for i in range(8):
+        nH = 10.0 ** rng.uniform(-2, 6)
+        x_ion = 10.0 ** rng.uniform(-6, 0)
+        T = jnp.asarray(10.0 ** rng.uniform(1.5, 6))
+        y = np.zeros(12)
+        y[1] = nH * (1 - x_ion)
+        y[2] = nH * x_ion
+        y[6] = 2.6e-5 * y[1]
+        y[7] = 2.6e-5 * y[2]
+        y[9] = 0.0789 * nH
+        y[0] = y[2] + y[7]
+        y = jnp.asarray(y)
+        for h in (1e2, 1e8, 1e14):  # from mild to extremely stiff
+            J = jac(y, T)
+            A = jnp.eye(12) - h * J
+            r = jnp.asarray(rng.standard_normal(12)) * jnp.maximum(y, 1e-10)
+            x_ref = jnp.linalg.solve(A, r)
+            x_got = _dense_solve(A, r)
+            resid_ref = float(jnp.max(jnp.abs(A @ x_ref - r)))
+            resid_got = float(jnp.max(jnp.abs(A @ x_got - r)))
+            scale = float(jnp.max(jnp.abs(r))) + 1e-300
+            assert resid_got <= max(10 * resid_ref, 1e-10 * scale), (
+                f"case {i} h={h}: residual {resid_got} vs ref {resid_ref}"
+            )
