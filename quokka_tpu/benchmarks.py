@@ -37,6 +37,10 @@ def build_scan_runner(sim, n_steps: int):
         from .parallel.halo import make_sharded_fill, make_sharded_mask_fill
 
         decomp = sim.decomp
+        gf = sim._ghost_free_config()
+        if gf is not None:
+            ng = gf["ng"]
+            bc_kinds = gf["bc_kinds"]
         fill = make_sharded_fill(decomp, ng, sim.problem.bcs, sim.layout,
                                  sim.problem, sim.grid)
         mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
@@ -45,18 +49,24 @@ def build_scan_runner(sim, n_steps: int):
         fill = sim._fill
         mask_fill = None
         red_axes = ()
-        bc_kinds = sim._ghost_free_bc_kinds()
+        gf = sim._ghost_free_config()
         if all(periodic):
             # zero-ghost fast path: roll wrap IS the periodic BC, and the
             # unpadded lane-aligned layout is ~1.6x faster (see
             # simulation.py step builder)
             fill = lambda X: X
             ng = (0, 0, 0)
-            bc_kinds = None
-        elif bc_kinds is not None:
+        elif gf is not None:
             # ghost-free wall BCs assembled in the sweep kernels
-            fill = lambda X: X
-            ng = (0, 0, 0)
+            ng = gf["ng"]
+            bc_kinds = gf["bc_kinds"]
+            if all(g == 0 for g in ng):
+                fill = lambda X: X
+            else:
+                from .boundaries import fill_ghosts as _fg
+
+                fill = lambda X: _fg(X, ng, sim.problem.bcs, sim.layout,
+                                     problem=sim.problem, grid=sim.grid)
 
     def body(carry, _):
         U, dt_prev, t = carry
@@ -66,7 +76,7 @@ def build_scan_runner(sim, n_steps: int):
         dt = jnp.minimum(cfl * dx_min / smax, 1.1 * dt_prev)
         U_new, _stats = hydro_advance.advance_hydro_rk2(
             U, dt, opts, fill, ng, periodic, mask_fill,
-            bc_kinds=None if sim.decomp is not None else bc_kinds,
+            bc_kinds=bc_kinds,
         )
         return (U_new, dt, t + dt), None
 
@@ -107,6 +117,10 @@ def build_step_runner(sim):
         from jax.sharding import PartitionSpec as P
 
         decomp = sim.decomp
+        gf = sim._ghost_free_config()
+        if gf is not None:
+            ng = gf["ng"]
+            bc_kinds = gf["bc_kinds"]
         fill = make_sharded_fill(decomp, ng, sim.problem.bcs, sim.layout,
                                  sim.problem, sim.grid)
         mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
@@ -115,16 +129,22 @@ def build_step_runner(sim):
         fill = sim._fill
         mask_fill = None
         red_axes = ()
-        bc_kinds = sim._ghost_free_bc_kinds()
+        gf = sim._ghost_free_config()
         if all(periodic):
             # zero-ghost fast path (see simulation.py step builder)
             fill = lambda X: X
             ng = (0, 0, 0)
-            bc_kinds = None
-        elif bc_kinds is not None:
+        elif gf is not None:
             # ghost-free wall BCs assembled in the sweep kernels
-            fill = lambda X: X
-            ng = (0, 0, 0)
+            ng = gf["ng"]
+            bc_kinds = gf["bc_kinds"]
+            if all(g == 0 for g in ng):
+                fill = lambda X: X
+            else:
+                from .boundaries import fill_ghosts as _fg
+
+                fill = lambda X: _fg(X, ng, sim.problem.bcs, sim.layout,
+                                     problem=sim.problem, grid=sim.grid)
 
     def step(U, dt_prev):
         smax = jnp.max(euler.max_signal_speed(U, opts.eos))
@@ -133,7 +153,7 @@ def build_step_runner(sim):
         dt = jnp.minimum(cfl * dx_min / smax, 1.1 * dt_prev)
         U_new, _stats = hydro_advance.advance_hydro_rk2(
             U, dt, opts, fill, ng, periodic, mask_fill,
-            bc_kinds=None if sim.decomp is not None else bc_kinds,
+            bc_kinds=bc_kinds,
         )
         return U_new, dt
 
@@ -219,14 +239,19 @@ def bench_radhydro(sim, n_warmup: int = 1, n_steps: int = 5):
                            problem=sim.problem, grid=sim.grid)
 
     ng_h = sim.ng
-    bc_kinds = sim._ghost_free_bc_kinds() if sim.decomp is None else None
+    bc_kinds = None
+    gf = sim._ghost_free_config() if sim.decomp is None else None
     if sim.decomp is None and all(sim.periodic):
         fill_h = lambda X: X
         ng_h = (0, 0, 0)
-        bc_kinds = None
-    elif bc_kinds is not None:
-        fill_h = lambda X: X
-        ng_h = (0, 0, 0)
+    elif gf is not None:
+        ng_h = gf["ng"]
+        bc_kinds = gf["bc_kinds"]
+        if all(g == 0 for g in ng_h):
+            fill_h = lambda X: X
+        else:
+            fill_h = lambda X: fill_ghosts(X, ng_h, sim.problem.bcs, layout_h,
+                                           problem=sim.problem, grid=sim.grid)
 
     def hydro_step(U):
         Uh_new, _ = hydro_advance.advance_hydro_rk2(

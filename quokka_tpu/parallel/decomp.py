@@ -71,10 +71,14 @@ def auto_tiles(n_cell: Sequence[int], n_devices: int) -> Tuple[int, int, int]:
 
     while remaining > 1:
         f = largest_prime_factor(remaining)
-        # split the axis with most cells per shard that stays divisible
+        # split the axis with most cells per shard that stays divisible --
+        # but NEVER split the lane (z) axis while an alternative exists:
+        # keeping z unsharded lets every shard keep its natural lane-aligned
+        # extent (ghost-free z stepping; a z-sharded shard would need
+        # lane-axis halos, the one padding the TPU layout punishes ~1.6x)
         cand = sorted(
             (d for d in range(3) if n_cell[d] % (tiles[d] * f) == 0),
-            key=lambda d: n_cell[d] / tiles[d],
+            key=lambda d: (d != 2, n_cell[d] / tiles[d]),
             reverse=True,
         )
         if not cand:

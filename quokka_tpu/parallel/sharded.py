@@ -36,9 +36,15 @@ def build_sharded_step(
     problem=None,
     grid=None,
     strang=None,
+    ghost_free=None,
 ):
     """Returns a jitted `(U, dt) -> (U_new, stats)` operating on globally
-    sharded arrays. stats values are replicated scalars."""
+    sharded arrays. stats values are replicated scalars.
+
+    `ghost_free` (from `Simulation._ghost_free_config`) switches the hydro
+    advance to hybrid ghost-free stepping: only halo-exchanged (sharded)
+    or hook-filled axes are padded, never the lane (z) axis -- z walls are
+    assembled inside the Pallas sweep kernels."""
     # hydro advances only the hydro block (radiation comps belong to the
     # radiation subsystem)
     from ..indices import StateLayout
@@ -49,6 +55,10 @@ def build_sharded_step(
                     n_scalars=layout.n_scalars, n_mscalars=layout.n_mscalars)
         if layout.radiation_enabled else layout
     )
+    bc_kinds = None
+    if ghost_free is not None:
+        ng = ghost_free["ng"]
+        bc_kinds = ghost_free["bc_kinds"]
     fill = make_sharded_fill(decomp, ng, bcs, layout_h, problem, grid)
     mask_fill = make_sharded_mask_fill(decomp, ng, periodic)
     red_axes = tuple(AXIS_NAMES[d] for d in decomp.sharded_dims())
@@ -68,7 +78,7 @@ def build_sharded_step(
             ok_strang = jnp.logical_and(ok_strang, ok1)
         Uh_new, st = hydro_advance.advance_hydro_rk2(
             U_local[:nh], dt, opts, fill, ng, periodic, mask_fill,
-            redo_any_fn=redo_any,
+            redo_any_fn=redo_any, bc_kinds=bc_kinds,
         )
         if nh < U_local.shape[0]:
             U_new = jnp.concatenate([Uh_new, U_local[nh:]], axis=0)

@@ -155,33 +155,50 @@ class Simulation:
         self._build_compiled()
 
     # ------------------------------------------------------------- compiled fns
-    def _ghost_free_bc_kinds(self):
-        """{axis: (lo,hi)|None} for GHOST-FREE hydro stepping, or None when
-        ineligible. Eligible = single-device f32 3D Pallas path with every
-        boundary periodic/reflecting/outflow (wall ghosts are then local
-        transforms the sweep kernels can assemble in VMEM; BC_USER / NSCBC
-        hooks need the ghost-padded fill)."""
+    def _ghost_free_config(self):
+        """Stepping-mode selection for the hydro advance: None = classic
+        ghost-padded fill; otherwise a dict with
+
+          ng:        per-axis ghost widths actually padded (only axes that
+                     truly need a fill: halo-exchanged sharded axes and
+                     BC_USER/NSCBC hook axes),
+          bc_kinds:  {axis: (lo,hi)|None} -- wall axes the Pallas sweep
+                     kernels assemble in VMEM; None = roll wrap (periodic)
+                     or a padded axis.
+
+        The LANE (z) axis is never padded: padding it is the one layout
+        change the TPU punishes (~1.6x HBM bandwidth -- 264 lanes tile to
+        384), so z walls must be kernel-assemblable (periodic / reflect /
+        outflow) and z must be unsharded, else the classic path is used.
+        x/y padding costs only sublane-alignment-friendly copies."""
         from .registry import BC_OUTFLOW, BC_PERIODIC, BC_REFLECT
 
         opts = self.hydro_opts
         if (
-            self.decomp is not None
-            or self.dtype != jnp.float32
+            self.dtype != jnp.float32
             or not opts.use_pallas
             or len(opts.active_axes) != 3
             or int(self.pp.get_int("hydro.ghost_free", 1)) == 0
         ):
             return None
         allowed = (BC_PERIODIC, BC_REFLECT, BC_OUTFLOW)
+        tiles = self.decomp.tiles if self.decomp is not None else (1, 1, 1)
+
+        z_lo, z_hi = self.problem.bcs.axis(2)
+        if tiles[2] != 1 or z_lo not in allowed or z_hi not in allowed:
+            return None
+
+        ng = [0, 0, 0]
         kinds = {}
         for d in opts.active_axes:
             lo, hi = self.problem.bcs.axis(d)
-            if lo not in allowed or hi not in allowed:
-                return None
-            # one-sided periodicity never occurs (BCSpec pairs periodic
-            # with periodic); a fully periodic axis needs no wall handling
-            kinds[d] = None if self.periodic[d] else (lo, hi)
-        return kinds
+            if tiles[d] > 1 or (lo not in allowed or hi not in allowed):
+                # halo-exchanged or hook-filled axis: conventional padding
+                ng[d] = self.ng[d]
+                kinds[d] = None
+            else:
+                kinds[d] = None if self.periodic[d] else (lo, hi)
+        return {"ng": tuple(ng), "bc_kinds": kinds}
 
     def _fill(self, U, time=0.0):
         return fill_ghosts(
@@ -283,6 +300,7 @@ class Simulation:
             self._step_jit = build_sharded_step(
                 opts, self.decomp, ng, periodic, self.problem.bcs, self.layout,
                 self.problem, self.grid, strang=strang,
+                ghost_free=self._ghost_free_config(),
             )
         else:
             # the hydro advance operates on the hydro block only; radiation
@@ -322,16 +340,25 @@ class Simulation:
             # assemble them in VMEM from their own block edges and return
             # the hi-wall face fluxes as separate planes; the few prologue
             # stencils are wall-corrected with fused masked reads
-            # (stencil.sh_bc). No HBM-resident padded array ever exists.
+            # (stencil.sh_bc). Hook-filled (BC_USER/NSCBC) x/y axes are
+            # still padded -- only the lane axis must stay unpadded.
             ng_h = ng
-            bc_kinds_h = self._ghost_free_bc_kinds()
+            bc_kinds_h = None
+            gf = self._ghost_free_config()
             if all(periodic):
                 fill_h = lambda X: X
                 ng_h = (0, 0, 0)
-                bc_kinds_h = None
-            elif bc_kinds_h is not None:
-                fill_h = lambda X: X
-                ng_h = (0, 0, 0)
+            elif gf is not None:
+                ng_h = gf["ng"]
+                bc_kinds_h = gf["bc_kinds"]
+                if all(g == 0 for g in ng_h):
+                    fill_h = lambda X: X
+                else:
+                    lay_h = layout_h if self.layout.radiation_enabled else self.layout
+                    fill_h = lambda X: fill_ghosts(
+                        X, ng_h, self.problem.bcs, lay_h,
+                        problem=self.problem, grid=self.grid,
+                    )
 
             def step(U, dt):
                 U, ok1 = strang(U, 0.5 * dt)

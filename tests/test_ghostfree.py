@@ -120,6 +120,89 @@ def test_ghostfree_matches_padded(bc_name, rough):
     )
 
 
+def test_sharded_ghostfree_matches_padded():
+    """Hybrid sharded ghost-free (x/y halo-padded, z kernel-assembled) must
+    reproduce the classic fully-padded sharded step."""
+    from quokka_tpu import ParmParse, Simulation
+    from quokka_tpu.parallel.decomp import make_decomposition
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    def run(ghost_free_flag):
+        pp = ParmParse.from_string(
+            f"""
+            geometry.prob_hi = 1.2 1.2 1.2
+            amr.n_cell = 32 32 32
+            cfl = 0.3
+            max_timesteps = 6
+            hydro.use_pallas = 1
+            hydro.ghost_free = {ghost_free_flag}
+            precision = single
+            verbose = 0
+            """
+        )
+        decomp = make_decomposition((32, 32, 32), tiles=(4, 2, 1))
+        sim = Simulation(SedovProblem(), pp, decomp=decomp, precision="single")
+        if ghost_free_flag:
+            gf = sim._ghost_free_config()
+            assert gf is not None, "sharded ghost-free must be eligible"
+            assert gf["ng"] == (4, 4, 0), gf
+            assert gf["bc_kinds"][2] is not None, "z walls kernel-assembled"
+        sim.set_initial_conditions()
+        sim.evolve()
+        return np.asarray(sim.U)
+
+    U_gf = run(1)
+    U_pad = run(0)
+    np.testing.assert_allclose(U_gf, U_pad, rtol=0, atol=0)
+
+
+def test_hybrid_user_bc_axis_matches_padded():
+    """A BC_USER x-axis forces x-padding while z stays kernel-assembled;
+    result must equal the fully padded path."""
+    from quokka_tpu.registry import BC_USER
+
+    n = 16
+    bcs = BCSpec(
+        x=(BC_USER, BC_OUTFLOW),
+        y=(BC_PERIODIC, BC_PERIODIC),
+        z=(BC_REFLECT, BC_REFLECT),
+    )
+    layout = StateLayout(hydro_enabled=True, radiation_enabled=False)
+    U = _make_state((n, n, n), seed=5)
+    opts = _opts(n)
+    periodic = (False, True, False)
+    dt = 0.2 / n
+
+    class Hook:
+        """Dirichlet inflow on x-lo (a supersonic constant state)."""
+
+        def fill_user_boundary(self, Ug, grid, ng, time, d, side):
+            assert d == 0 and side == 0
+            g = ng[0]
+            rho, vx, eint = 1.3, 1.7, 2.0
+            vals = jnp.asarray(
+                [rho, rho * vx, 0.0, 0.0,
+                 rho * eint + 0.5 * rho * vx**2, rho * eint], Ug.dtype)
+            return Ug.at[:, :g].set(vals[:, None, None, None])
+
+    hook = Hook()
+    fill_full = lambda X: fill_ghosts(X, (4, 4, 4), bcs, layout,
+                                      problem=hook, grid=None)
+    U_pad, _ = hydro_advance.advance_hydro_rk2(
+        U, dt, opts, fill_full, (4, 4, 4), periodic
+    )
+
+    # hybrid: pad x only (hook), y wrap, z kernel-assembled
+    fill_x = lambda X: fill_ghosts(X, (4, 0, 0), bcs, layout,
+                                   problem=hook, grid=None)
+    bc_kinds = {0: None, 1: None, 2: (BC_REFLECT, BC_REFLECT)}
+    U_gf, _ = hydro_advance.advance_hydro_rk2(
+        U, dt, opts, fill_x, (4, 0, 0), periodic, bc_kinds=bc_kinds
+    )
+    np.testing.assert_allclose(np.asarray(U_gf), np.asarray(U_pad),
+                               rtol=0, atol=0)
+
+
 def test_outflow_chi_ghost_planes_exact():
     """The prologue's outflow ghost-chi planes equal the padded path's
     chi_cell at the wall-adjacent ghost positions -- and differ from a naive
