@@ -167,3 +167,41 @@ def test_sharded_wavespeed_correction_matches_single_device():
     U4, n4 = run(decomp)
     assert n1 == n4
     np.testing.assert_allclose(U4, U1, rtol=5e-12, atol=0)
+
+
+def test_sharded_gravity_and_particles_match_single_device():
+    """Self-gravity (open-BC FFT Poisson) + CIC particles under the device
+    mesh: the FFT solve and the particle scatter/gather are global ops on
+    sharded arrays (GSPMD inserts the collectives), and must reproduce the
+    single-device orbit exactly (the reference redistributes particles
+    across MPI ranks instead, src/simulation.hpp + AMReX ParticleContainer)."""
+    from quokka_tpu.problems.infrastructure import (
+        BinaryOrbitCICProblem as BinaryOrbit,
+    )
+
+    prob0 = BinaryOrbit()
+    d = prob0.sep
+    v = np.sqrt(prob0.G * prob0.M / (2 * d))
+    period = 2 * np.pi * (d / 2) / v
+    cfg = f"""
+    geometry.prob_lo = 0. 0. 0.
+    geometry.prob_hi = 1. 1. 1.
+    amr.n_cell = 32 32 32
+    gravity.Gconst = 1.0
+    gravity.bc = open
+    constant_dt = {period / 200:.8e}
+    stop_time = {period / 8:.8e}
+    max_timesteps = 30
+    verbose = 0
+    """
+
+    def run(decomp):
+        sim = Simulation(BinaryOrbit(), ParmParse.from_string(cfg), decomp=decomp)
+        sim.set_initial_conditions()
+        sim.evolve()
+        return np.asarray(sim.particles.x), np.asarray(sim.U)
+
+    x1, U1 = run(None)
+    x8, U8 = run(make_decomposition((32, 32, 32), tiles=(4, 2, 1)))
+    np.testing.assert_array_equal(x1, x8)
+    np.testing.assert_array_equal(U1, U8)
