@@ -24,8 +24,42 @@ def _write_yaml(path: str, mapping: Dict):
             f.write(f"{k}: {v}\n")
 
 
+def _write_level(lvl_dir: str, arrays: dict) -> None:
+    """One level's component arrays: through the native C++ async writer
+    (the VisMF-equivalent -- the thread pool streams raw arrays to disk
+    while the device keeps computing, reference `WriteMultiLevelPlotfile`
+    via AMReX AsyncOut, ``src/simulation.hpp:2294-2334``), falling back to
+    a synchronous compressed npz when the extension is unavailable."""
+    from . import native
+
+    if native.available():
+        ok = True
+        for n, a in arrays.items():
+            ok &= native.write_array_async(
+                os.path.join(lvl_dir, f"{n}.qka"), np.asarray(a)
+            )
+        if ok:
+            return
+    np.savez_compressed(os.path.join(lvl_dir, "cell_data.npz"), **arrays)
+
+
+def _read_level(lvl_dir: str) -> dict:
+    """Read one level's arrays from either on-disk format."""
+    npz = os.path.join(lvl_dir, "cell_data.npz")
+    if os.path.exists(npz):
+        return dict(np.load(npz))
+    from . import native
+
+    out = {}
+    for fn in sorted(os.listdir(lvl_dir)):
+        if fn.endswith(".qka"):
+            out[fn[:-4]] = native.read_array(os.path.join(lvl_dir, fn))
+    return out
+
+
 def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
-    """Write plt####### directory: Level_0/cell_data.npz + Header + metadata.yaml."""
+    """Write plt####### directory: per-component arrays (native async
+    writer) + Header + metadata.yaml."""
     name = f"{prefix}{sim.istep:07d}"
     path = os.path.join(directory, name)
     os.makedirs(os.path.join(path, "Level_0"), exist_ok=True)
@@ -39,7 +73,7 @@ def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
 
         arrays[dv] = np.asarray(compute_derived_field(sim, dv))
         names = names + [dv]
-    np.savez_compressed(os.path.join(path, "Level_0", "cell_data.npz"), **arrays)
+    _write_level(os.path.join(path, "Level_0"), arrays)
 
     # AMR: write fine levels + masks as well
     finest = getattr(sim, "finest_level", 0)
@@ -48,11 +82,9 @@ def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
         lvl_dir = os.path.join(path, f"Level_{l}")
         os.makedirs(lvl_dir, exist_ok=True)
         Ul = np.asarray(sim.level_U[l])
-        np.savez_compressed(
-            os.path.join(lvl_dir, "cell_data.npz"),
-            **{n: Ul[i] for i, n in enumerate(base_names)},
-            refined_mask=np.asarray(sim.level_mask[l]),
-        )
+        arrays_l = {n: Ul[i] for i, n in enumerate(base_names)}
+        arrays_l["refined_mask"] = np.asarray(sim.level_mask[l])
+        _write_level(lvl_dir, arrays_l)
 
     header = {
         "plotfile_version": "quokka_tpu-1.0",
@@ -72,9 +104,15 @@ def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
     return path
 
 
-def read_plotfile(path: str):
-    """Read a plotfile directory back: (header dict, {name: array})."""
+def read_plotfile(path: str, level: int = 0):
+    """Read a plotfile directory back: (header dict, {name: array}).
+
+    Drains the native writer first so a read-after-write in the same
+    process sees complete files."""
+    from . import native
+
+    native.drain()
     with open(os.path.join(path, "Header")) as f:
         header = json.load(f)
-    data = dict(np.load(os.path.join(path, "Level_0", "cell_data.npz")))
+    data = _read_level(os.path.join(path, f"Level_{level}"))
     return header, data

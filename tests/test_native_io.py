@@ -38,3 +38,50 @@ def test_truncation_detected(tmp_path):
     open(p, "wb").write(raw[:-12])  # chop the tail
     with pytest.raises(ValueError):
         native.read_array(p)
+
+
+def test_plotfile_through_native_writer(tmp_path):
+    """The plotfile path streams per-component arrays through the native
+    async writer (VisMF analog) and reads back losslessly, including AMR
+    levels and the boolean refinement mask."""
+    import os
+
+    from quokka_tpu import ParmParse
+    from quokka_tpu.amr.hierarchy import AMRSimulation
+    from quokka_tpu.io.plotfile import read_plotfile, write_plotfile
+    from tests.test_amr import Blast2D
+
+    os.chdir(tmp_path)
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1. 1. 1.
+        amr.n_cell = 32 32 1
+        amr.max_level = 1
+        cfl = 0.3
+        max_timesteps = 3
+        verbose = 0
+        """
+    )
+    sim = AMRSimulation(Blast2D(), pp)
+    sim.set_initial_conditions()
+    sim.evolve()
+    assert sim.finest_level >= 1
+    path = write_plotfile(sim, directory=str(tmp_path))
+
+    if native.available():
+        lvl0 = os.listdir(os.path.join(path, "Level_0"))
+        assert any(f.endswith(".qka") for f in lvl0), (
+            "native writer available but plotfile fell back to npz"
+        )
+
+    header, data = read_plotfile(path)
+    np.testing.assert_array_equal(data["gasDensity"], np.asarray(sim.U[0]))
+    _, data1 = read_plotfile(path, level=1)
+    np.testing.assert_array_equal(
+        data1["gasDensity"], np.asarray(sim.level_U[1][0])
+    )
+    np.testing.assert_array_equal(
+        data1["refined_mask"].astype(bool),
+        np.asarray(sim.level_mask[1]).astype(bool),
+    )
