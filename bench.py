@@ -20,11 +20,25 @@ import json
 import os
 import sys
 
+# force a platform BEFORE first device touch (env vars alone are too late
+# when a sitecustomize already registered the TPU plugin) -- used by the
+# CPU-mesh weak-scaling mode: QUOKKA_BENCH_PLATFORM=cpu [QUOKKA_BENCH_NDEV=8]
+_plat = os.environ.get("QUOKKA_BENCH_PLATFORM", "")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+    if _plat == "cpu":
+        jax.config.update(
+            "jax_num_cpu_devices", int(os.environ.get("QUOKKA_BENCH_NDEV", "8"))
+        )
+
 N = int(os.environ.get("QUOKKA_BENCH_N", "256"))
 STEPS = int(os.environ.get("QUOKKA_BENCH_STEPS", "10"))
-MODE = os.environ.get("QUOKKA_BENCH_MODE", "hydro")  # hydro | radhydro
+MODE = os.environ.get("QUOKKA_BENCH_MODE", "hydro")  # hydro | radhydro | weak
 WITH_RADHYDRO = os.environ.get("QUOKKA_BENCH_RADHYDRO", "1") == "1"
 WITH_F64 = os.environ.get("QUOKKA_BENCH_F64", "1") == "1"
+WITH_PLM = os.environ.get("QUOKKA_BENCH_PLM", "1") == "1"
 F64_N = int(os.environ.get("QUOKKA_BENCH_F64_N", "128"))
 
 
@@ -52,7 +66,7 @@ def run_radhydro(n, steps, prec="single"):
     return mzones, nsub
 
 
-def run_hydro(n, steps, prec="single"):
+def run_hydro(n, steps, prec="single", order=3):
     from quokka_tpu import ParmParse, Simulation
     from quokka_tpu.benchmarks import bench_hydro
     from quokka_tpu.problems.sedov import SedovProblem
@@ -63,7 +77,7 @@ def run_hydro(n, steps, prec="single"):
         geometry.prob_hi = 1.2 1.2 1.2
         amr.n_cell = {n} {n} {n}
         cfl = 0.3
-        hydro.reconstruction_order = 3
+        hydro.reconstruction_order = {order}
         verbose = 0
         """
     )
@@ -82,7 +96,63 @@ def run_hydro(n, steps, prec="single"):
     return mzones / n_dev
 
 
+def run_weak(base, steps):
+    """Weak scaling on the available device mesh: fixed base^3 zones per
+    device (the reference's weak-scaling protocol,
+    ``paper/weak_scaling_hydro.csv``). Returns (per_chip_1, per_chip_N,
+    efficiency, tiles)."""
+    import jax
+
+    from quokka_tpu import ParmParse, Simulation
+    from quokka_tpu.benchmarks import bench_hydro
+    from quokka_tpu.parallel.decomp import auto_tiles, make_decomposition
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    def run(n_cell, decomp):
+        pp = ParmParse.from_string(
+            f"""
+            geometry.prob_lo = 0.0 0.0 0.0
+            geometry.prob_hi = 1.2 1.2 1.2
+            amr.n_cell = {n_cell[0]} {n_cell[1]} {n_cell[2]}
+            cfl = 0.3
+            hydro.reconstruction_order = 3
+            verbose = 0
+            """
+        )
+        sim = Simulation(SedovProblem(), pp, precision="single", decomp=decomp)
+        sim.set_initial_conditions()
+        mz, _ = bench_hydro(sim, n_warmup=2, n_steps=steps)
+        return mz
+
+    per1 = run((base, base, base), None)
+    ndev = len(jax.devices())
+    if ndev == 1:
+        return per1, per1, 1.0, (1, 1, 1)
+    tiles = auto_tiles((base * ndev, base * ndev, base), ndev)
+    n_cell = tuple(base * t for t in tiles)
+    decomp = make_decomposition(n_cell, tiles=tiles)
+    total = run(n_cell, decomp)
+    perN = total / ndev
+    return per1, perN, perN / per1, tiles
+
+
 def main():
+    if MODE == "weak":
+        per1, perN, eff, tiles = run_weak(
+            int(os.environ.get("QUOKKA_BENCH_WEAK_N", "64")), STEPS)
+        import jax
+
+        print(json.dumps({
+            "metric": f"weak-scaling efficiency, {len(jax.devices())} devices, "
+                      f"tiles {tiles}",
+            "value": round(eff, 4),
+            "unit": "parallel efficiency",
+            "vs_baseline": round(eff / 0.828, 4),
+            "per_chip_1dev": round(per1, 3),
+            "per_chip_Ndev": round(perN, 3),
+        }))
+        return
+
     if MODE == "radhydro":
         prec = os.environ.get("QUOKKA_BENCH_PREC", "single")
         mzones, nsub = run_radhydro(N, STEPS, prec)
@@ -111,6 +181,14 @@ def main():
             result["radhydro_vs_v100"] = round(rh / 22.55, 4)
         except Exception as e:  # never lose the headline number
             result["radhydro_error"] = str(e)[:200]
+
+    if WITH_PLM:
+        try:
+            plm = run_hydro(N, STEPS, "single", order=2)
+            result["hydro_plm_mzones"] = round(plm, 3)
+            result["plm_vs_v100"] = round(plm / 157.75, 4)
+        except Exception as e:
+            result["hydro_plm_error"] = str(e)[:200]
 
     if WITH_F64:
         try:
