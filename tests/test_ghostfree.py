@@ -284,3 +284,60 @@ def test_sh_bc_matches_padded_fill():
                     want = want_p[tuple(sl)]
                     got = sh_bc(A, k, ax, lo, hi, odd)
                     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ghost_free_config_gating():
+    """Mode selection: full ghost-free for kernel-assemblable walls, hybrid
+    padding for hook axes, classic path when the lane axis needs a fill,
+    and the hydro.ghost_free=0 escape hatch."""
+    from quokka_tpu import ParmParse, Simulation
+    from quokka_tpu.problems.sedov import SedovProblem
+    from quokka_tpu.registry import BC_USER
+
+    def cfg(bcs=None, extra=""):
+        class P(SedovProblem):
+            name = "GFGate_" + str(abs(hash((str(bcs), extra))) % 10**8)
+
+        if bcs is not None:
+            P.bcs = bcs
+        pp = ParmParse.from_string(
+            f"""
+            geometry.prob_hi = 1.2 1.2 1.2
+            amr.n_cell = 16 16 16
+            hydro.use_pallas = 1
+            verbose = 0
+            {extra}
+            """
+        )
+        return Simulation(P(), pp, precision="single")._ghost_free_config()
+
+    # all-reflect: fully ghost-free
+    gf = cfg()
+    assert gf is not None and gf["ng"] == (0, 0, 0)
+    assert all(gf["bc_kinds"][d] is not None for d in range(3))
+
+    # escape hatch
+    assert cfg(extra="hydro.ghost_free = 0") is None
+
+    # f64 -> classic path (Pallas kernels are f32-only)
+    class P64(SedovProblem):
+        name = "GFGate_f64"
+
+    pp = ParmParse.from_string(
+        "geometry.prob_hi = 1.2 1.2 1.2\namr.n_cell = 16 16 16\n"
+        "hydro.use_pallas = 1\nverbose = 0"
+    )
+    assert Simulation(P64(), pp, precision="double")._ghost_free_config() is None
+
+    # hook on x -> hybrid (x padded, z kernel-assembled)
+    gf = cfg(BCSpec(x=(BC_USER, BC_OUTFLOW),
+                    y=(BC_PERIODIC, BC_PERIODIC),
+                    z=(BC_REFLECT, BC_REFLECT)))
+    assert gf is not None and gf["ng"] == (4, 0, 0)
+    assert gf["bc_kinds"][0] is None and gf["bc_kinds"][2] is not None
+
+    # hook on the LANE axis -> classic path (z must never be padded)
+    gf = cfg(BCSpec(x=(BC_REFLECT, BC_REFLECT),
+                    y=(BC_PERIODIC, BC_PERIODIC),
+                    z=(BC_USER, BC_OUTFLOW)))
+    assert gf is None
