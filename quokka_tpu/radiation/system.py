@@ -55,21 +55,27 @@ class RadOptions:
 def eddington_factor(f: jnp.ndarray) -> jnp.ndarray:
     """Levermore 1984 M1 closure chi(f), f = |F|/(cE) in [0,1]
     (reference `ComputeEddingtonFactor`, ``radiation_system.hpp:773-790``)."""
-    f = jnp.clip(f, 0.0, 1.0)
-    f_fac = jnp.sqrt(4.0 - 3.0 * f * f)
-    return (3.0 + 4.0 * f * f) / (5.0 + 2.0 * f_fac)
+    return eddington_factor_sq(f * f)
+
+
+def eddington_factor_sq(f2: jnp.ndarray) -> jnp.ndarray:
+    """chi as a function of f^2: the closure only ever needs |f|^2, so the
+    VPU-bound transport kernel skips the |f| square root entirely."""
+    f2 = jnp.clip(f2, 0.0, 1.0)
+    f_fac = jnp.sqrt(4.0 - 3.0 * f2)
+    return (3.0 + 4.0 * f2) / (5.0 + 2.0 * f_fac)
 
 
 def eddington_tensor(fx, fy, fz):
     """3x3 Eddington tensor from the reduced flux vector (reference
     `ComputeEddingtonTensor`, ``radiation_system.hpp:874-916``).
 
-    Written division-light for the VPU-bound Pallas transport kernel:
+    Written division-light and sqrt-light for the VPU-bound Pallas
+    transport kernel: chi comes from f^2 (no |f| sqrt), and
     n_i n_j = f_i f_j / f^2 needs ONE reciprocal instead of three
     normalizing divisions (Tf/f^2 is folded into a single factor)."""
     f2 = fx * fx + fy * fy + fz * fz
-    f = jnp.sqrt(f2)
-    chi = eddington_factor(f)
+    chi = eddington_factor_sq(f2)
     Tdiag = 0.5 * (1.0 - chi)
     # Tf * n_i * n_j = (Tf / f^2) * f_i * f_j; at f -> 0 Tf -> 0 like f^2
     tf_over_f2 = jnp.where(f2 > 0.0,
@@ -205,7 +211,9 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions,
 
     def unpack(q, cons):
         erad, fx, fy, fz = q[0], q[1], q[2], q[3]
-        f2 = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+        # |f|^2 >= 1 is the same admissibility test as |f| >= 1 without the
+        # square root (VPU hot path)
+        f2 = fx * fx + fy * fy + fz * fz
         bad = (erad <= 0.0) | (f2 >= 1.0)
         # fallback: donor-cell conserved state
         erad_fb = cons[0]
@@ -235,19 +243,24 @@ def _hll_group_flux(qL, qR, consL, consR, axis, opts: RadOptions,
     FL = [FL[0] * (chat / c)] + [Fi * (chat * c) for Fi in FL[1:]]
     FR = [FR[0] * (chat / c)] + [Fi * (chat * c) for Fi in FR[1:]]
 
-    U_L = jnp.stack([erad_L, F3_L[0], F3_L[1], F3_L[2]])
-    U_R = jnp.stack([erad_R, F3_R[0], F3_R[1], F3_R[2]])
-    FLv = jnp.stack(FL)
-    FRv = jnp.stack(FR)
+    U_L = (erad_L, F3_L[0], F3_L[1], F3_L[2])
+    U_R = (erad_R, F3_R[0], F3_R[1], F3_R[2])
 
     # F = (S_R F_L - S_L F_R + S_R S_L (U_R - U_L)) / (S_R - S_L), with the
-    # common chat factor cancelled analytically:
+    # common chat factor cancelled analytically. Assembled per component
+    # (one final stack) -- intermediate 4-component stacks are VMEM copies
+    # inside the Pallas kernel.
     inv = 1.0 / (s_R + s_L)
-    diff = ((s_R * s_L * inv) * chat)[None] * (U_R - U_L)
-    if eps_energy is not None:
-        diff = diff.at[0].mul(eps_energy)
-    F = (s_R * inv)[None] * FLv + (s_L * inv)[None] * FRv - diff
-    return F
+    wL = s_R * inv
+    wR = s_L * inv
+    wD = (s_R * s_L * inv) * chat
+    comps = []
+    for k in range(4):
+        diff_k = wD * (U_R[k] - U_L[k])
+        if eps_energy is not None and k == 0:
+            diff_k = diff_k * eps_energy
+        comps.append(wL * FL[k] + wR * FR[k] - diff_k)
+    return jnp.stack(comps)
 
 
 def rad_transport_div(
