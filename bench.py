@@ -35,7 +35,7 @@ if _plat:
 
 N = int(os.environ.get("QUOKKA_BENCH_N", "256"))
 STEPS = int(os.environ.get("QUOKKA_BENCH_STEPS", "10"))
-MODE = os.environ.get("QUOKKA_BENCH_MODE", "hydro")  # hydro | radhydro | weak
+MODE = os.environ.get("QUOKKA_BENCH_MODE", "hydro")  # hydro | radhydro | weak | amr
 WITH_RADHYDRO = os.environ.get("QUOKKA_BENCH_RADHYDRO", "1") == "1"
 WITH_F64 = os.environ.get("QUOKKA_BENCH_F64", "1") == "1"
 WITH_PLM = os.environ.get("QUOKKA_BENCH_PLM", "1") == "1"
@@ -136,7 +136,61 @@ def run_weak(base, steps):
     return per1, perN, perN / per1, tiles
 
 
+def run_amr_shell(n, max_level, steps):
+    """AMR radhydro-shell FOM (the reference's strong-scaling benchmark
+    configuration, ``paper/strong_scaling.csv``: shell + 2 AMR levels).
+    Dense-mask AMR advances full-domain arrays per level, so the FOM
+    counts every level's cell updates, like the reference's
+    ``cellUpdatesEachLevel_``."""
+    import time
+
+    from quokka_tpu import ParmParse
+    from quokka_tpu.amr.hierarchy import AMRSimulation
+    from quokka_tpu.problems.radhydro_shell import RadhydroShellProblem
+
+    pp = ParmParse.from_string(
+        f"""
+        geometry.prob_lo = 0.0 0.0 0.0
+        geometry.prob_hi = 4.0 4.0 4.0
+        amr.n_cell = {n} {n} {n}
+        amr.max_level = {max_level}
+        do_reflux = 1
+        do_subcycle = 1
+        cfl = 0.3
+        radiation.cfl = 0.3
+        density_floor = 1.0e-8
+        max_timesteps = {steps + 2}
+        stop_time = 1.0e10
+        verbose = 0
+        """
+    )
+    sim = AMRSimulation(RadhydroShellProblem(), pp, precision="single")
+    sim.set_initial_conditions()
+    # warm: compile + settle the hierarchy
+    sim.max_timesteps = 2
+    sim.evolve()
+    n0 = sim.cell_updates
+    sim.max_timesteps = 2 + steps
+    t0 = time.perf_counter()
+    sim.evolve()
+    elapsed = time.perf_counter() - t0
+    return (sim.cell_updates - n0) / elapsed / 1e6, sim.finest_level
+
+
 def main():
+    if MODE == "amr":
+        mz, finest = run_amr_shell(
+            int(os.environ.get("QUOKKA_BENCH_AMR_N", "64")),
+            int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2")), STEPS)
+        print(json.dumps({
+            "metric": f"AMR radhydro shell Mzone-updates/sec/chip "
+                      f"(finest level {finest})",
+            "value": round(mz, 3),
+            "unit": "Mzones/s/chip",
+            "vs_baseline": round(mz / 4.95, 4),
+        }))
+        return
+
     if MODE == "weak":
         per1, perN, eff, tiles = run_weak(
             int(os.environ.get("QUOKKA_BENCH_WEAK_N", "64")), STEPS)

@@ -10,6 +10,10 @@
 #                       fast tier, catching tracer leaks / shape bugs that
 #                       compiled runs can mask (the reference runs its
 #                       suite under ASan/UBSan + FPE trapping)
+#   ./ci.sh tpu       - on-chip tier (needs a TPU): drives the library
+#                       end-to-end on real hardware -- ghost-free Sedov,
+#                       f64 shocktube at the reference tolerance, and the
+#                       ghost-free parity tests against the padded path
 #   ./ci.sh all       - fast + debug + golden + full
 set -euo pipefail
 cd "$(dirname "$0")"
@@ -42,12 +46,33 @@ run_debug()  {
     -q -x
 }
 
+run_tpu() {
+  # on-chip validation: the test platform override lets the conftest keep
+  # the default (TPU) backend instead of forcing the CPU mesh
+  QUOKKA_TPU_TEST_PLATFORM=tpu python -m pytest \
+    "tests/test_ghostfree.py::test_ghostfree_matches_padded[True-reflect_all]" \
+    -q -x
+  python - <<'PYEOF'
+import numpy as np
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.problems.shocktube import ShocktubeProblem
+
+pp = ParmParse.from_file("decks/shocktube.in")
+sim = Simulation(ShocktubeProblem(), pp, precision="double")
+sim.set_initial_conditions()
+sim.evolve()
+assert sim.error_norm < 0.002, sim.error_norm  # reference tolerance
+print(f"TPU f64 shocktube L1 = {sim.error_norm:.5f} < 0.002")
+PYEOF
+}
+
 case "$tier" in
   fast)   run_fast ;;
   full)   run_full ;;
   golden) run_golden ;;
   debug)  run_debug ;;
   all)    run_fast; run_debug; run_golden; run_full ;;
+  tpu)    run_tpu ;;
   *) echo "usage: ./ci.sh [fast|full|golden|debug|all]" >&2; exit 2 ;;
 esac
 echo "ci.sh: tier '$tier' PASSED"
