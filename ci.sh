@@ -64,6 +64,38 @@ sim.evolve()
 assert sim.error_norm < 0.002, sim.error_norm  # reference tolerance
 print(f"TPU f64 shocktube L1 = {sim.error_norm:.5f} < 0.002")
 PYEOF
+  # PopIII (gravity + turbulence + 12-species chemistry) on-chip: the
+  # code-units formulation is the one whose magnitudes fit the TPU f64
+  # emulation's f32 exponent range (raw CGS overflows it)
+  python - <<'PYEOF'
+import numpy as np
+from quokka_tpu import ParmParse, Simulation
+from quokka_tpu.problems.popiii import PopIIICodeUnitsProblem
+
+prob = PopIIICodeUnitsProblem()
+u_rho, u_len, u_t = prob.units
+r = lambda x: repr(float(x))
+cfg = f"""
+geometry.prob_lo = {r(-3.703e18/u_len)} {r(-3.703e18/u_len)} {r(-3.703e18/u_len)}
+geometry.prob_hi = {r(3.703e18/u_len)} {r(3.703e18/u_len)} {r(3.703e18/u_len)}
+amr.n_cell = 16 16 16
+cfl = 0.15
+max_timesteps = 3
+stop_time = {r(1e16/u_t)}
+do_subcycle = 0
+density_floor = {r(1e-25/u_rho)}
+chemistry.enabled = 1
+chemistry.min_density_allowed = 5e-21
+verbose = 0
+"""
+sim = Simulation(prob, ParmParse.from_string(cfg), precision="double")
+sim.set_initial_conditions()
+sim.evolve()
+U = np.asarray(sim.U)
+assert np.all(np.isfinite(U)), "PopIII on-chip produced non-finite state"
+assert np.all(U[0] > 0)
+print("TPU PopIII (code units, f64) smoke: 3 steps finite")
+PYEOF
 }
 
 case "$tier" in

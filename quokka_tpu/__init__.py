@@ -31,12 +31,29 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: TPU compiles of the fused step are expensive
-# (~minutes via remote compile); cache them across processes
+# (~minutes via remote compile); cache them across processes.  The cache dir
+# is keyed by the host CPU's feature set: XLA:CPU entries are AOT binaries
+# whose target features are frozen at compile time, and reusing them on a
+# host with different features (VM migrations) both flips FMA-level rounding
+# and can SIGILL/SIGABRT mid-suite (observed: "Loading XLA:CPU AOT result
+# ... doesn't match the machine type for execution").
+def _host_cache_dir() -> str:
+    base = _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/quokka_jax_cache")
+    try:
+        import hashlib as _hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = _hashlib.sha1(line.encode()).hexdigest()[:10]
+                    return f"{base}-{tag}"
+    except OSError:
+        pass
+    return base
+
+
 try:
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/quokka_jax_cache"),
-    )
+    _jax.config.update("jax_compilation_cache_dir", _host_cache_dir())
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # older jax without these options
     pass

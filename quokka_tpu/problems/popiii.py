@@ -73,6 +73,11 @@ class PopIIIProblem(Problem):
     bcs = BCSpec(x=(BC_OUTFLOW, BC_OUTFLOW), y=(BC_OUTFLOW, BC_OUTFLOW),
                  z=(BC_OUTFLOW, BC_OUTFLOW))
     chemistry_network = PrimordialNetwork()
+    # CGS value of one code unit (density, length, time); the base problem
+    # IS the reference's raw-CGS formulation.  `PopIIICodeUnitsProblem`
+    # overrides these so every on-chip magnitude stays inside the TPU f64
+    # emulation's f32 exponent range (see Simulation units handling).
+    units = (1.0, 1.0, 1.0)
 
     def cloud_number_densities(self):
         """Relative species number densities of the cloud (normalized to
@@ -84,26 +89,32 @@ class PopIIIProblem(Problem):
     def error_est(self, sim, level):
         """Jeans-length refinement (reference ``popiii.cpp:325-360``):
         tag where l_J = cs sqrt(pi/(G rho)) < N_cells dx, above the
-        density threshold."""
+        density threshold.  In code units G -> G rho0 t0^2 and the
+        threshold scales by 1/rho0."""
+        u_rho, _u_len, u_t = self.units
         U = sim.level_U[level]
         rho = U[RHO]
         gmm = self.eos_traits.gamma
         P = (gmm - 1.0) * U[EINT]
         cs = jnp.sqrt(gmm * P / rho)
-        l_J = cs * jnp.sqrt(jnp.pi / (G_CGS * rho))
+        G_code = G_CGS * u_rho * u_t * u_t
+        l_J = cs * jnp.sqrt(jnp.pi / (G_code * rho))
         dx = sim.level_grids[level].dx_min
-        return (l_J < JEANS_NCELLS * dx) & (rho > JEANS_RHO_THRESH)
+        return (l_J < JEANS_NCELLS * dx) & (rho > JEANS_RHO_THRESH / u_rho)
 
     def set_initial_conditions(self, grid):
         layout = self.physics.layout()
         shape = grid.n_cell
         net = self.chemistry_network
         chem_eos = ChemEOS(network=net)
+        u_rho, u_len, u_t = self.units
+        u_v = u_len / u_t
+        u_e = u_rho * u_v * u_v  # energy density
 
         nrel = self.cloud_number_densities() * NUMDENS_INIT
         nden0 = jnp.asarray(nrel).reshape(-1, 1, 1, 1)
         rho_i0 = number_densities_to_partial_densities(
-            jnp.broadcast_to(nden0, (12, *shape)), net)
+            jnp.broadcast_to(nden0, (12, *shape)), net) / u_rho
         rho_core = jnp.sum(rho_i0, axis=0)
 
         x, y, z = grid.cell_center_mesh()
@@ -112,27 +123,29 @@ class PopIIIProblem(Problem):
         yy = jnp.broadcast_to(y - c[1], shape)
         zz = jnp.broadcast_to(z - c[2], shape)
         r = jnp.sqrt(xx**2 + yy**2 + zz**2)
-        inside = r <= R_SPHERE
+        inside = r <= R_SPHERE / u_len
 
         # turbulent velocity cube scaled to the deck's rms (reference
         # renorm_amp * dv; periodic cube sampled at the grid resolution)
         nmax = max(shape)
-        v = solenoidal_perturbation(nmax, rms=RMS_VELOCITY, seed=7)
+        v = solenoidal_perturbation(nmax, rms=RMS_VELOCITY / u_v, seed=7)
         v = jnp.asarray(v[:, :shape[0], :shape[1], :shape[2]])
         vx, vy, vz = v[0], v[1], v[2]
 
-        # solid-body rotation inside the cloud
+        # solid-body rotation inside the cloud (OMEGA in code units is
+        # OMEGA * t0)
+        omega = OMEGA * u_t
         distxy = jnp.sqrt(xx**2 + yy**2)
         phi = jnp.arctan2(yy, xx)
-        vx = vx + jnp.where(inside, -distxy * OMEGA * jnp.sin(phi), 0.0)
-        vy = vy + jnp.where(inside, distxy * OMEGA * jnp.cos(phi), 0.0)
+        vx = vx + jnp.where(inside, -distxy * omega * jnp.sin(phi), 0.0)
+        vy = vy + jnp.where(inside, distxy * omega * jnp.cos(phi), 0.0)
 
         # ambient: 1% density at pressure equilibrium (same composition
         # ratios -> T_ambient = 100 T_core for the ideal mixture)
         rho = jnp.where(inside, rho_core, 0.01 * rho_core)
         nden = jnp.broadcast_to(nden0, (12, *shape)) * jnp.where(
             inside, 1.0, 0.01)[None]
-        rho_i = number_densities_to_partial_densities(nden, net)
+        rho_i = number_densities_to_partial_densities(nden, net) / u_rho
 
         # pressure equilibrium (reference: ambient re-solved with
         # eos_input_rp at the core pressure, popiii.cpp:297-303): for the
@@ -140,7 +153,7 @@ class PopIIIProblem(Problem):
         # are identical inside/outside, so equal pressure means the CORE
         # Eint everywhere (the 1%-density ambient is simply 100x hotter)
         eint = chem_eos.eint_from_tgas(
-            jnp.broadcast_to(nden0, (12, *shape)), T_CORE)
+            jnp.broadcast_to(nden0, (12, *shape)), T_CORE) / u_e
 
         ke = 0.5 * rho * (vx**2 + vy**2 + vz**2)
         U = jnp.zeros((layout.nvar, *shape))
@@ -152,3 +165,33 @@ class PopIIIProblem(Problem):
         U = U.at[EINT].set(eint)
         U = U.at[SCALAR0:SCALAR0 + 12].set(rho_i)
         return U
+
+
+def popiii_code_units():
+    """(rho0, L0, t0): core mass density, cloud radius, 1/sqrt(G rho0).
+    By construction G_code = G_cgs rho0 t0^2 = 1."""
+    from ..eos import M_U_CGS
+
+    net = PopIIIProblem.chemistry_network
+    nrel = np.asarray(
+        [X_E, X_H, X_HP, X_TRACE, X_H2, X_TRACE,
+         X_D, X_DP, X_HD, X_HE, X_TRACE, X_TRACE]) * NUMDENS_INIT
+    rho0 = float(np.sum(nrel * np.asarray(net.masses) * M_U_CGS))
+    t0 = 1.0 / np.sqrt(G_CGS * rho0)
+    return (rho0, R_SPHERE, t0)
+
+
+@register_problem
+class PopIIICodeUnitsProblem(PopIIIProblem):
+    """PopIII in code units (rho0 = core density, L0 = cloud radius,
+    t0 = 1/sqrt(G rho0), so G_code = 1): physically identical to the
+    raw-CGS `PopIII` (tests prove the scaled states match), but every
+    on-chip magnitude stays inside the TPU f64 emulation's f32 exponent
+    range — raw-CGS cell volumes (~1e51 cm^3) overflow it, which is why
+    the CGS formulation cannot run on TPU hardware.  Deck geometry, times
+    and floors are in code units; chemistry keys (e.g.
+    chemistry.min_density_allowed) stay CGS because the burn itself runs
+    in CGS behind the units layer."""
+
+    name = "PopIIICodeUnits"
+    units = popiii_code_units()

@@ -29,7 +29,7 @@ from .grid import Grid
 from .hydro import advance as hydro_advance
 from .hydro import euler
 from .hydro.advance import HydroOptions
-from .indices import EGAS, RHO
+from .indices import EGAS, EINT, MX1, RHO, SCALAR0
 from .registry import Problem
 from .stencil import ghost_widths
 
@@ -134,9 +134,34 @@ class Simulation:
             decomp = make_decomposition(self.grid.n_cell)
         self.decomp = decomp
 
-        # ---- gravity (reference: doPoissonSolve_ + gravity.Gconst)
+        # ---- code units (TPU-first addition; no reference analog).  The
+        # TPU f64 emulation is a float32 pair with the *f32 exponent range*
+        # (~3.4e38), so raw-CGS self-gravity problems (cell volumes ~1e51
+        # cm^3, PopIII scales) overflow on-chip.  `units.{density,length,
+        # time}` give the CGS value of one code unit; the solver runs
+        # unit-agnostic in code units while the CGS microphysics (cooling
+        # tables, chemistry rate fits) are fed CGS values by scaling the
+        # state around the Strang step.  Defaults come from the problem's
+        # `units` attribute (rho0, L0, t0), overridable per deck.
+        u_def = getattr(problem, "units", (1.0, 1.0, 1.0))
+        self.units = (
+            self.pp.get_float("units.density", u_def[0]),
+            self.pp.get_float("units.length", u_def[1]),
+            self.pp.get_float("units.time", u_def[2]),
+        )
+        self._units_nontrivial = any(u != 1.0 for u in self.units)
+        if self._units_nontrivial and problem.physics.radiation_enabled:
+            raise ValueError(
+                "units.* scaling currently supports hydro(+gravity+chem) "
+                "states only, not radiation"
+            )
+
+        # ---- gravity (reference: doPoissonSolve_ + gravity.Gconst).  In
+        # code units the default G is G_cgs rho0 t0^2 (dimensionless form
+        # of 4 pi G rho).
         self.gravity_enabled = problem.physics.gravity_enabled
-        self.Gconst = self.pp.get_float("gravity.Gconst", 6.674e-8)
+        g_default = 6.674e-8 * self.units[0] * self.units[2] ** 2
+        self.Gconst = self.pp.get_float("gravity.Gconst", g_default)
         self.gravity_bc = self.pp.get_str("gravity.bc", "open")
         self.particles = None
         self.tracers = None
@@ -259,9 +284,32 @@ class Simulation:
         chem_min_density = self.pp.get_float("chemistry.min_density_allowed", 0.0)
         self.chem_enabled = chem_on
 
+        # state-component CGS scaling factors for the code-units mode: the
+        # cooling/chemistry microphysics consume CGS (cm^-3, K, erg) values,
+        # so the Strang step sees U * fac (CGS) and returns U / fac
+        u_rho, u_len, u_t = self.units
+        u_v = u_len / u_t
+        if self._units_nontrivial and (cooling_on or chem_on):
+            fac = np.ones(self.layout.nvar)
+            fac[RHO] = u_rho
+            fac[MX1:MX1 + 3] = u_rho * u_v
+            fac[EGAS] = fac[EINT] = u_rho * u_v * u_v
+            fac[SCALAR0:] = u_rho  # (partial) densities
+            self._cgs_fac = jnp.asarray(fac).reshape(-1, 1, 1, 1)
+        else:
+            self._cgs_fac = None
+        cgs_fac = self._cgs_fac
+
         def strang(U, half_dt):
             """Strang-split builtin sources; returns (U, ok) where ok feeds
             the retry ladder (reference burn_success contract)."""
+            if cgs_fac is not None:
+                fc = cgs_fac.astype(U.dtype)
+                U_c, ok = strang_cgs(U * fc, half_dt * u_t)
+                return U_c / fc, ok
+            return strang_cgs(U, half_dt)
+
+        def strang_cgs(U, half_dt):
             ok = jnp.asarray(True)
             if cooling_on and cooling_tables2d is not None:
                 from .microphysics.tables import strang_cooling_step_tabulated
@@ -511,6 +559,74 @@ class Simulation:
         from .radiation.advance import RadiationAdvance
 
         self._radiation = RadiationAdvance(self)
+        if self.layout.hydro_enabled:
+            self._build_fused_radhydro_window()
+
+    def _build_fused_radhydro_window(self):
+        """Fused multi-step window for radhydro: K coarse steps, each = on-
+        device dt (CFL + substep cap), hydro advance, and the radiation
+        subcycle with a DEVICE-SIDE substep count (`lax.fori_loop` with a
+        dynamic trip count, capped at max_substeps+1 exactly like the host
+        `n_substeps`). One host sync per window instead of one per coarse
+        step, so production `evolve()` radhydro throughput matches the bench
+        loop (the hydro-only window has done this since round 2; reference
+        measures its FOM on the real loop, simulation.hpp:972-980)."""
+        from jax import lax
+
+        rad = self._radiation
+        step_fn = self._step_jit
+        substep_fn = rad._substep_jit
+        ropts = rad.opts
+        eos = self.eos
+        cfl = self.cfl
+        dx_min = self.grid.dx_min
+        max_dt = self.max_dt
+        dt_rad_unit = ropts.cfl * dx_min / ropts.chat
+        nsub_cap = ropts.max_substeps
+        # same association as compute_timestep's host expression so the
+        # capped dt is bit-identical to the per-step loop
+        dt_cap = ropts.max_substeps * ropts.cfl * dx_min / ropts.chat
+
+        @partial(jax.jit, static_argnums=3)
+        def fused_window_rad(U, dt_prev, t0, K):
+            def body(carry, _):
+                U, dt_prev, t, ok = carry
+                smax = jnp.max(euler.max_signal_speed(U, eos))
+                dt = jnp.minimum(cfl * dx_min / smax,
+                                 jnp.minimum(1.1 * dt_prev, max_dt))
+                # radhydro substep cap (mirrors compute_timestep)
+                dt = jnp.minimum(dt, dt_cap)
+                U2, stats = step_fn(U, dt)
+                dt_cfl = cfl * dx_min / stats["max_signal"]
+                ok_step = jnp.logical_and(stats["valid"], dt <= 1.1 * dt_cfl)
+                # radiation subcycle with on-device substep count (host
+                # formula: max(1, ceil(dt / (cfl_rad dx_min / chat))))
+                nsub = jnp.maximum(
+                    jnp.ceil(dt / dt_rad_unit).astype(jnp.int32), 1)
+                ok_step = jnp.logical_and(ok_step, nsub <= nsub_cap + 1)
+                nsub = jnp.clip(nsub, 1, nsub_cap + 1)
+                dt_r = dt / nsub.astype(dt.dtype)
+
+                def sub_body(i, Us):
+                    Un, _st = substep_fn(
+                        Us, t + i.astype(dt.dtype) * dt_r, dt_r)
+                    return Un
+
+                U3 = lax.fori_loop(0, nsub, sub_body, U2)
+                # once a step fails, freeze the carry; the host discards the
+                # window and replays it through the retry ladder
+                U3 = jnp.where(ok, U3, U)
+                dt_prev_new = jnp.where(ok, dt, dt_prev)
+                t_new = jnp.where(ok, t + dt, t)
+                return (U3, dt_prev_new, t_new,
+                        jnp.logical_and(ok, ok_step)), jnp.where(ok, dt, 0.0)
+
+            (Uf, dtp, _tf, ok), dts = lax.scan(
+                body, (U, dt_prev, t0, jnp.asarray(True)), None, length=K
+            )
+            return Uf, dtp, ok, dts
+
+        self._fused_window_rad_jit = fused_window_rad
 
     # ---------------------------------------------------------------- gravity
     def _setup_gravity(self):
@@ -710,10 +826,12 @@ class Simulation:
         """The fused multi-step window reproduces the per-step loop exactly
         only when nothing host-side happens between steps."""
         base_hook = type(self.problem).compute_before_timestep is Problem.compute_before_timestep
+        rad_ok = (self._radiation is None
+                  or hasattr(self, "_fused_window_rad_jit"))
         return (
             self.layout.hydro_enabled
             and getattr(self, "max_level", 0) == 0
-            and self._radiation is None
+            and rad_ok
             and not self.gravity_enabled
             and getattr(self, "_g_ext", None) is None
             and self.tracers is None
@@ -764,9 +882,15 @@ class Simulation:
             if fused_ok:
                 K = self._fused_window_size()
                 if K >= 2:
-                    U_new, dtp, ok, dts = self._fused_window_jit(
-                        self.U, jnp.asarray(self.dt_prev, self.dtype), K
-                    )
+                    if self._radiation is not None:
+                        U_new, dtp, ok, dts = self._fused_window_rad_jit(
+                            self.U, jnp.asarray(self.dt_prev, self.dtype),
+                            jnp.asarray(self.t, self.dtype), K
+                        )
+                    else:
+                        U_new, dtp, ok, dts = self._fused_window_jit(
+                            self.U, jnp.asarray(self.dt_prev, self.dtype), K
+                        )
                     if bool(ok):
                         self.U = U_new
                         for d in np.asarray(dts):

@@ -57,6 +57,39 @@ def test_fused_matches_per_step():
     np.testing.assert_array_equal(np.asarray(fused.U), np.asarray(ref.U))
 
 
+RADHYDRO_CFG = """
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 1.
+amr.n_cell = 16 16 16
+cfl = 0.3
+radiation.cfl = 0.3
+stop_time = 1.0
+max_timesteps = 12
+verbose = 0
+"""
+
+
+def test_fused_radhydro_matches_per_step():
+    """The radhydro fused window (hydro step + device-side radiation
+    subcycle count) must reproduce the per-step loop exactly, including the
+    coarse-dt radiation substep cap."""
+    from quokka_tpu.problems.radhydro_bench import RadhydroBenchProblem
+
+    def run(extra):
+        sim = Simulation(RadhydroBenchProblem(),
+                         ParmParse.from_string(RADHYDRO_CFG + extra))
+        sim.set_initial_conditions()
+        assert sim._fused_eligible() == ("fused_windows = 0" not in extra)
+        sim.evolve()
+        return sim
+
+    ref = run("fused_windows = 0\n")
+    fused = run("fused_window = 6\n")
+    assert fused.istep == ref.istep
+    assert fused.t == ref.t
+    np.testing.assert_array_equal(np.asarray(fused.U), np.asarray(ref.U))
+
+
 def test_fused_respects_output_intervals(tmp_path):
     import os
 

@@ -84,6 +84,55 @@ def test_popiii_rotation_and_turbulence(evolved):
     assert Lz == pytest.approx(Lz0, rel=0.05)
 
 
+def test_popiii_code_units_matches_cgs(evolved):
+    """The code-units formulation (the one that can run on TPU hardware,
+    where raw-CGS magnitudes overflow the f64 emulation's f32 exponent
+    range) must reproduce the CGS run: state_code * unit_factor ==
+    state_cgs to rounding accumulation over 10 steps."""
+    from quokka_tpu.indices import EGAS, EINT, MX1
+    from quokka_tpu.problems.popiii import PopIIICodeUnitsProblem
+
+    _prob_cgs, sim_cgs, _U0 = evolved
+    prob = PopIIICodeUnitsProblem()
+    u_rho, u_len, u_t = prob.units
+    u_v = u_len / u_t
+
+    def r(x):
+        return repr(float(x))
+
+    cfg = f"""
+    geometry.prob_lo = {r(-3.703e18 / u_len)} {r(-3.703e18 / u_len)} {r(-3.703e18 / u_len)}
+    geometry.prob_hi = {r(3.703e18 / u_len)} {r(3.703e18 / u_len)} {r(3.703e18 / u_len)}
+    amr.n_cell = 32 32 32
+    hydro.reconstruction_order = 3
+    cfl = 0.15
+    max_timesteps = 10
+    stop_time = {r(1e16 / u_t)}
+    do_subcycle = 0
+    density_floor = {r(1e-25 / u_rho)}
+    chemistry.enabled = 1
+    chemistry.min_density_allowed = 5e-21
+    verbose = 0
+    """
+    sim = Simulation(prob, ParmParse.from_string(cfg))
+    assert sim.Gconst == pytest.approx(1.0, rel=1e-12)  # G_code = 1
+    sim.set_initial_conditions()
+    sim.evolve()
+    assert sim.istep == sim_cgs.istep
+
+    fac = np.ones(sim.layout.nvar)
+    fac[RHO] = u_rho
+    fac[MX1:MX1 + 3] = u_rho * u_v
+    fac[EGAS] = fac[EINT] = u_rho * u_v * u_v
+    fac[SCALAR0:] = u_rho
+    U_code = np.asarray(sim.U) * fac.reshape(-1, 1, 1, 1)
+    U_cgs = np.asarray(sim_cgs.U)
+    for comp in range(U_cgs.shape[0]):
+        scale = np.abs(U_cgs[comp]).max()
+        err = np.abs(U_code[comp] - U_cgs[comp]).max() / scale
+        assert err < 2e-5, (comp, err)
+
+
 def test_popiii_jeans_tagging(evolved):
     """The Jeans criterion tags the collapsing core once rho crosses the
     threshold (reference jeansRefine.* machinery)."""
