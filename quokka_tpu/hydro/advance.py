@@ -69,6 +69,11 @@ class HydroOptions:
     use_dual_energy: bool = True
     rk_order: int = 2
     use_pallas: bool = False  # fused Pallas sweep kernels (TPU hot path)
+    # kernel-fused flux divergences: the sweep kernels also emit
+    # (F(i)-F(i+1))/dx so the common-path RK update is pointwise (no XLA
+    # rolls of whole flux arrays through HBM); FOFC redos fall back to the
+    # classic flux-based machinery inside the cond. Bit-identical output.
+    fuse_update: bool = True
 
     @property
     def ndim(self) -> int:
@@ -516,6 +521,168 @@ def rk2_stage(
     return U_new, fl2, fv2, n_redo
 
 
+def _apply_from_divs(U0_int, Ug_old, divs: dict, dvels: dict, dt, ng,
+                     opts: HydroOptions) -> jnp.ndarray:
+    """Pointwise flux application from kernel-fused divergence
+    contributions: bit-identical to `rhs_from_fluxes` +
+    `add_internal_energy_pdv` + the RK predict, but with zero XLA rolls
+    (everything fuses into one elementwise pass)."""
+    rhs = None
+    for d in sorted(divs):
+        rhs = divs[d] if rhs is None else rhs + divs[d]
+    divv = None
+    for d in sorted(dvels):
+        divv = dvels[d] if divv is None else divv + dvels[d]
+    P = euler.pressure(Ug_old, opts.eos)
+    rhs = rhs.at[EINT].add(-P * divv)
+    return U0_int + dt * interior(rhs, ng)
+
+
+def _advance_hydro_rk2_fused(
+    U: jnp.ndarray,
+    dt,
+    opts: HydroOptions,
+    fill_fn,
+    ng,
+    periodic,
+    mask_fill_fn=None,
+    fill_fn2=None,
+    redo_any_fn=None,
+    bc_kinds: dict | None = None,
+):
+    """RK2-SSP hydro step on the kernel-fused divergence fast path.
+
+    Same numerics (bit-identical) as `advance_hydro_rk2`'s flux-based
+    formulation: the sweep kernels emit per-axis divergence contributions
+    (stage 2: of the in-VMEM time-averaged flux), so the common all-valid
+    step applies them pointwise; any FOFC redo (or a stage-1 redo feeding
+    stage 2's average) drops into a cond-gated fallback that reproduces
+    the classic flux blending exactly (reference `replaceFluxes`,
+    ``src/QuokkaSimulation.hpp:1325-1369``)."""
+    from jax import lax as _lax
+
+    from .pallas_sweep import compute_fluxes_pallas_div
+
+    eos = opts.eos
+    if mask_fill_fn is None:
+        mask_fill_fn = lambda m: _pad_mask(m, ng, periodic)
+    if redo_any_fn is None:
+        redo_any_fn = jnp.any
+    if fill_fn2 is None:
+        fill_fn2 = fill_fn
+    ghost_free = bc_kinds is not None
+
+    Ug0 = fill_fn(U)
+    fo_fluxes_fn = lambda: compute_fluxes(Ug0, opts, first_order=True,
+                                          bc_kinds=bc_kinds)
+    r1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds)
+
+    def apply_fluxes(fl, fv, redo_mask, fl_hi, fv_hi):
+        rhs = rhs_from_fluxes(fl, opts, fl_hi if fl_hi else None)
+        rhs = add_internal_energy_pdv(
+            rhs, Ug0, fv, opts, redo_mask,
+            vel_hi=fv_hi if fv_hi else None, bc_kinds=bc_kinds,
+        )
+        return U + dt * interior(rhs, ng)
+
+    def blend_stage1(redo1):
+        """Stage-1 FOFC blend (identity when the redo mask is empty)."""
+        mask_p = mask_fill_fn(redo1)
+        if ghost_free:
+            fo_fl, fo_fv, fo_flh, fo_fvh = fo_fluxes_fn()
+            fl, fv, flh, fvh = _blend_fofc(
+                r1["fluxes"], r1["facevels"], fo_fl, fo_fv, mask_p, opts,
+                bc_kinds, (r1["flux_hi"], r1["vel_hi"], fo_flh, fo_fvh),
+            )
+        else:
+            fo_fl, fo_fv = fo_fluxes_fn()
+            fl, fv = _blend_fofc(
+                r1["fluxes"], r1["facevels"], fo_fl, fo_fv, mask_p, opts
+            )
+            flh, fvh = {}, {}
+        return fl, fv, flh, fvh, mask_p
+
+    # ---- stage 1
+    U1_try = _apply_from_divs(U, Ug0, r1["divs"], r1["dvels"], dt, ng, opts)
+    redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
+    n1 = jnp.sum(redo1)
+    fired1 = redo_any_fn(redo1)
+
+    def _redo1_branch(_):
+        fl, fv, flh, fvh, mask_p = blend_stage1(redo1)
+        return apply_fluxes(fl, fv, mask_p, flh, fvh)
+
+    U1 = _lax.cond(fired1, _redo1_branch, lambda _: U1_try, None)
+    U1 = euler.enforce_limits(
+        U1, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
+    )
+    if opts.use_dual_energy and not eos.is_isothermal:
+        U1 = euler.sync_dual_energy(U1)
+
+    if opts.rk_order == 1:
+        return U1, {"n_fofc": n1}
+
+    # ---- stage 2: divergence of the in-VMEM time-averaged flux
+    Ug1 = fill_fn2(U1)
+    r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, avg_with=r1)
+    U2_try = _apply_from_divs(U, Ug0, r2["divs"], r2["dvels"], dt, ng, opts)
+    redo2 = jnp.logical_not(euler.is_state_valid(U2_try, eos))
+
+    def _fallback2(_):
+        # reproduce the classic path: stage-1 final (blended) fluxes, the
+        # raw stage-2 sweep (recomputed here -- the avg kernels only emit
+        # divergences), the XLA time average, flux application, and the
+        # stage-2 FOFC blend. When stage 1 was clean the blend is the
+        # identity bitwise.
+        fl1f, fv1f, flh1f, fvh1f, _m1 = blend_stage1(redo1)
+        if ghost_free:
+            fl2r, fv2r, flh2r, fvh2r = compute_fluxes(Ug1, opts,
+                                                      bc_kinds=bc_kinds)
+        else:
+            fl2r, fv2r = compute_fluxes(Ug1, opts)
+            flh2r, fvh2r = {}, {}
+        flux_avg = {d: 0.5 * (fl1f[d] + fl2r[d]) for d in fl1f}
+        vel_avg = {d: 0.5 * (fv1f[d] + fv2r[d]) for d in fv1f}
+        flh_avg = {d: 0.5 * (flh1f[d] + flh2r[d]) for d in flh1f}
+        fvh_avg = {d: 0.5 * (fvh1f[d] + fvh2r[d]) for d in fvh1f}
+        U2a = apply_fluxes(flux_avg, vel_avg, None, flh_avg, fvh_avg)
+        redo2b = jnp.logical_not(euler.is_state_valid(U2a, eos))
+        n2b = jnp.sum(redo2b)
+
+        def _redo2_branch(_):
+            mask_p = mask_fill_fn(redo2b)
+            if ghost_free:
+                fo_fl, fo_fv, fo_flh, fo_fvh = fo_fluxes_fn()
+                fl, fv, flh, fvh = _blend_fofc(
+                    flux_avg, vel_avg, fo_fl, fo_fv, mask_p, opts,
+                    bc_kinds, (flh_avg, fvh_avg, fo_flh, fo_fvh),
+                )
+            else:
+                fo_fl, fo_fv = fo_fluxes_fn()
+                fl, fv = _blend_fofc(
+                    flux_avg, vel_avg, fo_fl, fo_fv, mask_p, opts
+                )
+                flh, fvh = {}, {}
+            return apply_fluxes(fl, fv, mask_p, flh, fvh)
+
+        U2b = _lax.cond(redo_any_fn(redo2b), _redo2_branch,
+                        lambda _: U2a, None)
+        return U2b, n2b
+
+    def _clean2(_):
+        return U2_try, jnp.sum(redo2)
+
+    U2, n2 = _lax.cond(
+        jnp.logical_or(fired1, redo_any_fn(redo2)), _fallback2, _clean2, None
+    )
+    U2 = euler.enforce_limits(
+        U2, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
+    )
+    if opts.use_dual_energy and not eos.is_isothermal:
+        U2 = euler.sync_dual_energy(U2)
+    return U2, {"n_fofc": n1 + n2}
+
+
 def advance_hydro_rk2(
     U: jnp.ndarray,
     dt,
@@ -550,6 +717,22 @@ def advance_hydro_rk2(
     ghost_free = bc_kinds is not None
     if ghost_free and return_fluxes:
         raise NotImplementedError("return_fluxes is not supported ghost-free")
+
+    # kernel-fused divergence fast path (identical numerics, pointwise
+    # common-path update); flux registers (return_fluxes) need the
+    # materialized time-averaged fluxes, so AMR refluxing keeps the
+    # classic formulation
+    if (
+        opts.use_pallas
+        and opts.fuse_update
+        and len(opts.active_axes) == 3
+        and U.dtype == jnp.float32
+        and not return_fluxes
+    ):
+        return _advance_hydro_rk2_fused(
+            U, dt, opts, fill_fn, ng, periodic, mask_fill_fn, fill_fn2,
+            redo_any_fn, bc_kinds,
+        )
 
     # ---- stage 1
     Ug0 = fill_fn(U)

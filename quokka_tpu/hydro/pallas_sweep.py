@@ -339,6 +339,8 @@ def compute_axis_flux_pallas(
     block_transverse: int | None = None,
     bc_axis: tuple | None = None,
     chi_ghost_axis: tuple | None = None,
+    dx_axis: float | None = None,
+    avg_with: tuple | None = None,
 ):
     """Single fused kernel: flux + face velocity for one sweep axis.
 
@@ -348,7 +350,25 @@ def compute_axis_flux_pallas(
     256-slot face arrays (slot i = face between cells i-1 and i, so slot 0
     is the lo-wall face), the hi-wall flux/facevel planes that do not fit
     the slot count. Returns (flux, facevel) or
-    (flux, facevel, flux_hi, facevel_hi)."""
+    (flux, facevel, flux_hi, facevel_hi).
+
+    With ``dx_axis`` set, the kernel ALSO emits this axis's cell-centered
+    flux-divergence contribution  div(i) = (F(i) - F(i+1))/dx  and the
+    face-velocity divergence contribution  dvel(i) = (v(i+1) - v(i))/dx
+    (the whole sweep axis lives in VMEM, so the i+1 shift is an in-block
+    roll; on wall axes the hi-wall face is used directly). These make the
+    common-path RK update purely pointwise: no XLA roll of whole flux
+    arrays through HBM (see `advance.rk2_stage`). Appended to the return
+    as (..., div, dvel); values are bit-identical to the XLA formulation
+    `(F - sh(F,1,ax)) / dx` with the hi-plane patch.
+
+    ``avg_with`` (RK2 stage 2) = (F1, v1) or, on wall axes,
+    (F1, v1, F1_hi, v1_hi): the stage-1 face arrays of this axis. The div
+    outputs then hold the divergence of the TIME-AVERAGED flux
+    0.5*(F1 + F2) -- the average is formed in VMEM, bit-identical to the
+    XLA `0.5*(fl1+fl2)` arrays the classic path materializes in HBM --
+    while the flux/facevel outputs remain the RAW stage-2 values (the
+    cond-gated FOFC fallback re-averages in XLA exactly as before)."""
     if block_transverse is None:
         block_transverse = _BLOCK_TRANSVERSE
     nv = prim.shape[0]
@@ -377,6 +397,8 @@ def compute_axis_flux_pallas(
 
     n_sweep = prim.shape[1 + axis]
     wall = bc_axis is not None
+    with_div = dx_axis is not None
+    has_avg = avg_with is not None
 
     # 8-wide window blocks along the sweep axis (width-1 blocks on a tiled
     # dim crash the Mosaic lowering), used for the chi ghost-plane inputs
@@ -407,6 +429,21 @@ def compute_axis_flux_pallas(
             in_specs.append(pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM))
             chi_ghi = True
 
+    # stage-1 face arrays for in-VMEM time averaging (RK2 stage 2)
+    if has_avg:
+        inputs.append(avg_with[0])
+        in_specs.append(pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM))
+        inputs.append(avg_with[1])
+        in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
+        if wall:
+            flh1, fvh1 = avg_with[2], avg_with[3]
+            w4 = tuple(8 if i == 1 + axis else s
+                       for i, s in enumerate((nv, X, Y, Z)))
+            inputs.append(jnp.broadcast_to(jnp.expand_dims(flh1, 1 + axis), w4))
+            in_specs.append(pl.BlockSpec(pshape4, pimap4, memory_space=pltpu.VMEM))
+            inputs.append(jnp.broadcast_to(jnp.expand_dims(fvh1, axis), w4[1:]))
+            in_specs.append(pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM))
+
     def kernel(*refs):
         idx = 0
         prim_ref = refs[idx]; idx += 1
@@ -420,9 +457,27 @@ def compute_axis_flux_pallas(
         idx += int(bool(chi_glo))
         chi_ghi_ref = refs[idx] if chi_ghi else None
         idx += int(bool(chi_ghi))
-        flux_ref, vel_ref = refs[idx], refs[idx + 1]
-        if wall:
-            flux_hi_ref, vel_hi_ref = refs[idx + 2], refs[idx + 3]
+        F1_ref = v1_ref = flh1_ref = fvh1_ref = None
+        if has_avg:
+            F1_ref, v1_ref = refs[idx], refs[idx + 1]
+            idx += 2
+            if wall:
+                flh1_ref, fvh1_ref = refs[idx], refs[idx + 1]
+                idx += 2
+        flux_ref = vel_ref = flux_hi_ref = vel_hi_ref = None
+        if has_avg:
+            # avg (RK2 stage-2) kernels emit ONLY the divergences: the
+            # VMEM budget and HBM write traffic of the raw face arrays are
+            # saved; the rare FOFC fallback recomputes them in XLA
+            div_ref, dvel_ref = refs[idx], refs[idx + 1]
+        else:
+            flux_ref, vel_ref = refs[idx], refs[idx + 1]
+            k = idx + 2
+            if wall:
+                flux_hi_ref, vel_hi_ref = refs[k], refs[k + 1]
+                k += 2
+            if with_div:
+                div_ref, dvel_ref = refs[k], refs[k + 1]
 
         prim_blk = prim_ref[...]
         chi_blk = chi_ref[...] if chi_ref is not None else None
@@ -463,40 +518,95 @@ def compute_axis_flux_pallas(
                 i[A.ndim - 3 + axis] = slice(a, b)
                 return A[tuple(i)]
 
-            flux_ref[...] = fslice(F, g, g + n_sweep)
-            vel_ref[...] = fslice(v, g, g + n_sweep)
-            # hi-wall planes are written as an 8-wide tail window along the
-            # sweep axis (last entry = the wall face): width-1 blocks on a
-            # tiled dim crash the Mosaic lowering (lower_to_llo.cc d>>32
-            # check), width 8 satisfies the (8,128) block-shape rule on
-            # every axis orientation
-            flux_hi_ref[...] = fslice(F, g + n_sweep - 7, g + n_sweep + 1)
-            vel_hi_ref[...] = fslice(v, g + n_sweep - 7, g + n_sweep + 1)
+            if not has_avg:
+                flux_ref[...] = fslice(F, g, g + n_sweep)
+                vel_ref[...] = fslice(v, g, g + n_sweep)
+                # hi-wall planes are written as an 8-wide tail window along
+                # the sweep axis (last entry = the wall face): width-1
+                # blocks on a tiled dim crash the Mosaic lowering
+                # (lower_to_llo.cc d>>32 check), width 8 satisfies the
+                # (8,128) block-shape rule on every axis orientation
+                flux_hi_ref[...] = fslice(F, g + n_sweep - 7, g + n_sweep + 1)
+                vel_hi_ref[...] = fslice(v, g + n_sweep - 7, g + n_sweep + 1)
+            if with_div:
+                # the assembled face window holds both faces of every cell
+                # (slot g+n is the hi wall), so the divergence needs no
+                # hi-plane patch at all. With avg inputs the stage-1 faces
+                # are averaged in first (bit-identical to the XLA
+                # 0.5*(fl1+fl2) + where-patch formulation).
+                Fd = fslice(F, g, g + n_sweep)
+                Fh = fslice(F, g + n_sweep, g + n_sweep + 1)
+                vd = fslice(v, g, g + n_sweep)
+                vh = fslice(v, g + n_sweep, g + n_sweep + 1)
+                if has_avg:
+                    Fd = 0.5 * (F1_ref[...] + Fd)
+                    Fh = 0.5 * (fslice(flh1_ref[...], 7, 8) + Fh)
+                    vd = 0.5 * (v1_ref[...] + vd)
+                    vh = 0.5 * (fslice(fvh1_ref[...], 7, 8) + vh)
+                nax = F.ndim - 3 + axis
+                Fall = jnp.concatenate([Fd, Fh], axis=nax)
+                vall = jnp.concatenate([vd, vh], axis=axis)
+                div_ref[...] = (
+                    fslice(Fall, 0, n_sweep) - fslice(Fall, 1, n_sweep + 1)
+                ) / dx_axis
+                dvel_ref[...] = (
+                    fslice(vall, 1, n_sweep + 1) - fslice(vall, 0, n_sweep)
+                ) / dx_axis
         else:
-            flux_ref[...] = F
-            vel_ref[...] = v
+            if not has_avg:
+                flux_ref[...] = F
+                vel_ref[...] = v
+            if with_div:
+                # same roll-wrap semantics as the XLA path: periodic
+                # ghost-free axes wrap correctly, padded axes leave garbage
+                # only in ghost cells the caller's interior() discards
+                Fd, vd = F, v
+                if has_avg:
+                    Fd = 0.5 * (F1_ref[...] + F)
+                    vd = 0.5 * (v1_ref[...] + v)
+                div_ref[...] = (Fd - sh(Fd, 1, 1 + axis)) / dx_axis
+                dvel_ref[...] = (sh(vd, 1, axis) - vd) / dx_axis
 
-    out_specs = [
-        pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
-        pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
-        jax.ShapeDtypeStruct((X, Y, Z), dtype),
-    ]
-    if wall:
-        # hi-wall planes: 8-wide tail window on the sweep axis (sliced to
-        # the last entry after the call)
-        full4 = tuple(8 if i == 1 + axis else s
-                      for i, s in enumerate((nv, X, Y, Z)))
-        out_specs += [
-            pl.BlockSpec(pshape4, pimap4, memory_space=pltpu.VMEM),
-            pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM),
+    if has_avg:
+        out_specs = [
+            pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
         ]
-        out_shape += [
-            jax.ShapeDtypeStruct(full4, dtype),
-            jax.ShapeDtypeStruct(full4[1:], dtype),
+        out_shape = [
+            jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z), dtype),
         ]
+    else:
+        out_specs = [
+            pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        ]
+        if wall:
+            # hi-wall planes: 8-wide tail window on the sweep axis (sliced
+            # to the last entry after the call)
+            full4 = tuple(8 if i == 1 + axis else s
+                          for i, s in enumerate((nv, X, Y, Z)))
+            out_specs += [
+                pl.BlockSpec(pshape4, pimap4, memory_space=pltpu.VMEM),
+                pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct(full4, dtype),
+                jax.ShapeDtypeStruct(full4[1:], dtype),
+            ]
+        if with_div:
+            out_specs += [
+                pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
+                pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+                jax.ShapeDtypeStruct((X, Y, Z), dtype),
+            ]
 
     outs = pl.pallas_call(
         kernel,
@@ -509,6 +619,9 @@ def compute_axis_flux_pallas(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(*inputs)
+    if has_avg:
+        return outs[0], outs[1]  # (div, dvel) of the time-averaged flux
+    div_tail = tuple(outs[-2:]) if with_div else ()
     if wall:
         from jax import lax as _lax
 
@@ -519,9 +632,64 @@ def compute_axis_flux_pallas(
                         axis=1 + axis),
             jnp.squeeze(_lax.slice_in_dim(outs[3], 7, 8, axis=axis),
                         axis=axis),
+        ) + div_tail
+    return (outs[0], outs[1]) + div_tail
+
+
+def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
+                              bc_kinds: dict | None = None,
+                              avg_with: dict | None = None) -> dict:
+    """Sweep all axes once, emitting fluxes AND their divergence
+    contributions from the same kernels (see `compute_axis_flux_pallas`
+    ``dx_axis``). Returns a dict with keys ``fluxes``, ``facevels``,
+    ``flux_hi``, ``vel_hi`` (empty when not ghost-free), ``divs``,
+    ``dvels`` -- the divs make the common-path RK update pointwise while
+    the face arrays remain available for the (cond-gated) FOFC redo.
+
+    ``avg_with`` (RK2 stage 2): dict with the stage-1 results ``fluxes``,
+    ``facevels``, ``flux_hi``, ``vel_hi`` -- divs/dvels then hold the
+    divergence of the time-averaged flux and the face arrays are NOT
+    emitted (fluxes/facevels/hi dicts come back empty; the FOFC fallback
+    recomputes the raw stage-2 sweep in that rare branch)."""
+    from . import euler
+
+    prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
+    chi_ghost = {}
+    if bc_kinds is None:
+        dmins, chi_cell = precompute_transverse_fields(prim, opts)
+    else:
+        dmins, chi_cell, chi_ghost = precompute_transverse_fields(
+            prim, opts, bc_kinds
         )
-    flux, facevel = outs
-    return flux, facevel
+
+    out = {"fluxes": {}, "facevels": {}, "flux_hi": {}, "vel_hi": {},
+           "divs": {}, "dvels": {}}
+    for d in opts.active_axes:
+        bc_axis = None if bc_kinds is None else bc_kinds.get(d)
+        avg_axis = None
+        if avg_with is not None:
+            avg_axis = (avg_with["fluxes"][d], avg_with["facevels"][d])
+            if bc_axis is not None:
+                avg_axis += (avg_with["flux_hi"][d], avg_with["vel_hi"][d])
+        res = compute_axis_flux_pallas(
+            prim, d, opts, chi_cell, dmins, False,
+            bc_axis=bc_axis, chi_ghost_axis=chi_ghost.get(d),
+            dx_axis=opts.dx[d], avg_with=avg_axis,
+        )
+        if avg_axis is not None:
+            dv, dl = res
+        elif bc_axis is None:
+            F, v, dv, dl = res
+        else:
+            F, v, Fh, vh, dv, dl = res
+            out["flux_hi"][d] = Fh
+            out["vel_hi"][d] = vh
+        if avg_axis is None:
+            out["fluxes"][d] = F
+            out["facevels"][d] = v
+        out["divs"][d] = dv
+        out["dvels"][d] = dl
+    return out
 
 
 def compute_fluxes_pallas(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False,

@@ -125,6 +125,14 @@ class Simulation:
                     0 if jax.default_backend() == "cpu" else 1,
                 )
             ),
+            # kernel-fused divergence update (pointwise common-path RK
+            # apply). Identical numerics up to XLA FMA contraction -- the
+            # same reassociation freedom the reference forfeits by
+            # compiling with DISABLE_FMAD (CMakeLists.txt:31); we keep the
+            # contraction (it is free VPU throughput) and validate the
+            # fused-vs-classic agreement at ulp tolerance instead
+            # (tests/test_fused_update.py).
+            fuse_update=bool(hpp.get_int("hydro.fuse_update", 1)),
         )
 
         # ---- domain decomposition over the device mesh (multi-chip)

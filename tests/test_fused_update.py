@@ -1,0 +1,124 @@
+"""Kernel-fused divergence update vs the classic flux formulation.
+
+The fused path (`hydro/advance.py::_advance_hydro_rk2_fused`) has the sweep
+kernels emit per-axis flux-divergence contributions (stage 2: of the
+in-VMEM time-averaged flux) so the common-path RK update is pointwise.
+The arithmetic is the same sequence of IEEE operations as the classic
+path; the only permitted difference is XLA's FMA-contraction freedom
+across the two differently-fused programs (the reference forfeits that
+freedom by compiling with DISABLE_FMAD, ``CMakeLists.txt:31``). So the
+two paths must agree to ~1 ulp of f32 on every cell -- both on clean
+steps and through the FOFC redo/fallback branches -- and conserve mass,
+momentum, and energy identically to roundoff.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from quokka_tpu.boundaries import fill_ghosts
+from quokka_tpu.indices import EGAS, RHO, StateLayout
+
+from test_ghostfree import BCS, _make_state, _opts
+
+
+def _paths(n, bcs, U, opts, dt):
+    layout = StateLayout(hydro_enabled=True, radiation_enabled=False)
+    from quokka_tpu.hydro import advance as ha
+
+    ng = (4, 4, 4)
+    periodic = tuple(bcs.is_periodic(d) for d in range(3))
+    fill = lambda X: fill_ghosts(X, ng, bcs, layout)
+    bc_kinds = {d: (None if periodic[d] else bcs.axis(d)) for d in range(3)}
+
+    def run(o, gf):
+        if gf:
+            return ha.advance_hydro_rk2(
+                U, dt, o, lambda X: X, (0, 0, 0), periodic, bc_kinds=bc_kinds
+            )
+        return ha.advance_hydro_rk2(U, dt, o, fill, ng, periodic)
+
+    return run
+
+
+def _ulp_close(a, b, rtol=1e-5, ulp_of_max=64):
+    """Per-component agreement at contraction roundoff: rtol covers
+    same-scale cells; the atol floor is a few tens of ulps of the
+    component's global magnitude, because a near-cancelling update (e.g. a
+    momentum component crossing zero) legitimately carries the absolute
+    roundoff of its flux-difference terms, and the two programs place FMA
+    contractions differently."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    # the contrived rough state drives a few cells to identical +/-inf in
+    # BOTH formulations (it exists to trip FOFC, not to be physical);
+    # require the non-finite patterns to agree exactly and compare the rest
+    fin = np.isfinite(b)
+    np.testing.assert_array_equal(np.isfinite(a), fin)
+    np.testing.assert_array_equal(a[~fin], b[~fin])
+    for c in range(a.shape[0]):
+        m = fin[c]
+        atol = ulp_of_max * np.spacing(np.max(np.abs(b[c][m]), initial=0.0))
+        np.testing.assert_allclose(a[c][m], b[c][m], rtol=rtol, atol=atol,
+                                   err_msg=f"component {c}")
+
+
+@pytest.mark.parametrize("bc_name", sorted(BCS))
+@pytest.mark.parametrize("rough", [False, True])
+def test_fused_matches_classic(bc_name, rough):
+    n = 16
+    bcs = BCS[bc_name]
+    U = _make_state((n, n, n), seed=3, rough=rough)
+    opts_f = _opts(n)
+    opts_f = dataclasses.replace(opts_f, fuse_update=True)
+    opts_c = dataclasses.replace(opts_f, fuse_update=False)
+    dt = 0.2 / n
+    run = _paths(n, bcs, U, opts_f, dt)
+
+    for gf in (False, True):
+        U_f, st_f = run(opts_f, gf)
+        U_c, st_c = run(opts_c, gf)
+        # the redo trigger mask is bit-identical (the stage-1 try state is
+        # reached by the same op sequence), so FOFC counts must agree
+        assert int(st_f["n_fofc"]) == int(st_c["n_fofc"])
+        if rough:
+            assert int(st_f["n_fofc"]) > 0, "rough state must exercise FOFC"
+        _ulp_close(U_f, U_c)
+
+
+def test_fused_ghostfree_matches_fused_padded():
+    n = 16
+    bcs = BCS["mixed"]
+    U = _make_state((n, n, n), seed=7)
+    opts = dataclasses.replace(_opts(n), fuse_update=True)
+    dt = 0.2 / n
+    run = _paths(n, bcs, U, opts, dt)
+    U_pad, _ = run(opts, False)
+    U_gf, _ = run(opts, True)
+    _ulp_close(U_pad, U_gf)
+
+
+def test_fused_conserves():
+    """Periodic box: the fused divergence update must telescope -- total
+    mass/momentum/energy preserved to accumulation roundoff."""
+    n = 16
+    bcs = BCS["mixed"]
+    from quokka_tpu.registry import BC_PERIODIC, BCSpec
+
+    bcs = BCSpec(
+        x=(BC_PERIODIC, BC_PERIODIC),
+        y=(BC_PERIODIC, BC_PERIODIC),
+        z=(BC_PERIODIC, BC_PERIODIC),
+    )
+    U = _make_state((n, n, n), seed=11)
+    opts = dataclasses.replace(_opts(n), fuse_update=True)
+    dt = 0.2 / n
+    run = _paths(n, bcs, U, opts, dt)
+    U_new, _ = run(opts, True)
+    s0 = np.sum(np.asarray(U, np.float64), axis=(1, 2, 3))
+    s1 = np.sum(np.asarray(U_new, np.float64), axis=(1, 2, 3))
+    for c in (RHO, 1, 2, 3, EGAS):
+        assert abs(s1[c] - s0[c]) <= 1e-3 * max(abs(s0[c]), 1.0), (c, s0[c], s1[c])
