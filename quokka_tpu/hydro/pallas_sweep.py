@@ -121,6 +121,122 @@ def precompute_transverse_fields(prim: jnp.ndarray, opts: HydroOptions,
     return dmins, chi_cell
 
 
+def precompute_transverse_pallas(prim: jnp.ndarray, opts: HydroOptions,
+                                 bc_kinds: dict | None):
+    """Kernel-fused version of `precompute_transverse_fields` for the
+    divergence fast path: one Pallas kernel per axis t (sweep axis whole
+    in-block, so the +-2 chi stencil and the +-1 velocity-difference
+    stencil are in-VMEM rolls; wall axes assemble their ghosts exactly
+    like the sweep kernels, which reproduces the padded fill bit-exactly).
+    The XLA formulation runs these as ~a dozen separate HBM passes over
+    3D fields; here each axis is one read of prim + three 1-component
+    writes. Returns (dmins, chi_cell, chi_ghost) like the XLA version."""
+    nv, X, Y, Z = prim.shape
+    dtype = prim.dtype
+    do_chi = opts.use_flattening and opts.reconstruction_order == 3
+
+    dmins, min3s, chis = {}, {}, {}
+    for t in opts.active_axes:
+        shape4, imap4, grid = _block_spec_4d(nv, X, Y, Z, t, _BLOCK_TRANSVERSE)
+        shape3 = shape4[1:]
+        imap3 = (lambda *idx: imap4(*idx)[1:])
+        bc_axis = None if bc_kinds is None else bc_kinds.get(t)
+        n_sweep = prim.shape[1 + t]
+
+        def kernel(prim_ref, *out_refs, t=t, bc_axis=bc_axis,
+                   n_sweep=n_sweep):
+            blk = prim_ref[...]
+            g = 0
+            if bc_axis is not None:
+                g = 4
+                blk = _assemble_wall_ghosts(
+                    blk, t, bc_axis[0], bc_axis[1], odd_comp=PVX1 + t, g=g
+                )
+
+            def islice(A):
+                if g == 0:
+                    return A
+                i = [slice(None)] * A.ndim
+                i[A.ndim - 3 + t] = slice(g, g + n_sweep)
+                return A[tuple(i)]
+
+            v = blk[PVX1 + t]
+            d_plus = sh(v, 1, t) - v
+            d_minus = v - sh(v, -1, t)
+            out_refs[0][...] = islice(jnp.minimum(d_plus, d_minus))
+            if do_chi:
+                chi = reconstruct.flattening_chi(
+                    blk, t, opts.eos, opts.reconstruct_eint
+                )
+                m3 = jnp.minimum(jnp.minimum(sh(chi, -1, t), chi),
+                                 sh(chi, 1, t))
+                out_refs[1][...] = islice(m3)
+                out_refs[2][...] = islice(chi)
+
+        n_out = 3 if do_chi else 1
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM)],
+            out_specs=tuple(
+                pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM)
+                for _ in range(n_out)
+            ),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((X, Y, Z), dtype) for _ in range(n_out)
+            ),
+            interpret=_interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+        )(prim)
+        dmins[t] = outs[0]
+        if do_chi:
+            min3s[t] = outs[1]
+            chis[t] = outs[2]
+
+    chi_cell = None
+    if do_chi:
+        for t in opts.active_axes:
+            chi_cell = min3s[t] if chi_cell is None else jnp.minimum(
+                chi_cell, min3s[t]
+            )
+
+    # exact adjacent-ghost chi_cell planes for OUTFLOW walls (same
+    # derivation as precompute_transverse_fields)
+    chi_ghost = {}
+    if do_chi and bc_kinds is not None:
+        from jax import lax
+
+        from ..registry import BC_OUTFLOW
+
+        for d in opts.active_axes:
+            bc_axis = bc_kinds.get(d)
+            if bc_axis is None:
+                continue
+            lo_k, hi_k = bc_axis
+            if lo_k != BC_OUTFLOW and hi_k != BC_OUTFLOW:
+                continue
+            E = None
+            for t in opts.active_axes:
+                if t == d:
+                    continue
+                E = min3s[t] if E is None else jnp.minimum(E, min3s[t])
+            n = prim.shape[1 + d]
+            ghost_d = jnp.minimum(chis[d], E) if E is not None else chis[d]
+            lo_pl = (
+                lax.slice_in_dim(ghost_d, 0, 1, axis=d)
+                if lo_k == BC_OUTFLOW else None
+            )
+            hi_pl = (
+                lax.slice_in_dim(ghost_d, n - 1, n, axis=d)
+                if hi_k == BC_OUTFLOW else None
+            )
+            chi_ghost[d] = (lo_pl, hi_pl)
+
+    return dmins, chi_cell, chi_ghost
+
+
 def _assemble_wall_ghosts(blk, ax: int, lo_kind: str, hi_kind: str,
                           odd_comp: int | None, g: int = 4,
                           adj_lo=None, adj_hi=None):
@@ -654,13 +770,9 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
     from . import euler
 
     prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
-    chi_ghost = {}
-    if bc_kinds is None:
-        dmins, chi_cell = precompute_transverse_fields(prim, opts)
-    else:
-        dmins, chi_cell, chi_ghost = precompute_transverse_fields(
-            prim, opts, bc_kinds
-        )
+    dmins, chi_cell, chi_ghost = precompute_transverse_pallas(
+        prim, opts, bc_kinds
+    )
 
     out = {"fluxes": {}, "facevels": {}, "flux_hi": {}, "vel_hi": {},
            "divs": {}, "dvels": {}}
