@@ -230,11 +230,20 @@ def hlld(sL: FaceState, sR: FaceState, gamma: float, bx):
     ptot_R = sR.P + pb_R
 
     def phys_flux(s, u, ptot):
+        # NB: the transverse momentum fluxes are rho*u*v - Bx*By and
+        # rho*u*w - Bx*Bz (Miyoshi & Kusano 2005 eq. 2). The reference's
+        # stub HLLD has "+ bx * by" here (``src/hydro/HLLD.hpp:108-109``)
+        # -- a sign bug in upstream dead code (no induction update ever
+        # exercises it there; with B=0, the reference's only operating
+        # mode, the term vanishes). The minus sign is also what the MK05
+        # star states (which both codes share) assume: with "+" the
+        # Alfven-wave v/B coupling turns anti-Hermitian and the CT solver
+        # grows grid-scale modes exponentially.
         return dict(
             rho=u["mx"],
             mx=u["mx"] * s.u + ptot - bx_sq,
-            my=u["my"] * s.u + bx * u["by"],
-            mz=u["mz"] * s.u + bx * u["bz"],
+            my=u["my"] * s.u - bx * u["by"],
+            mz=u["mz"] * s.u - bx * u["bz"],
             E=s.u * (u["E"] + ptot - bx_sq) - bx * (s.v * u["by"] + s.w * u["bz"]),
             by=u["by"] * s.u - bx * s.v,
             bz=u["bz"] * s.u - bx * s.w,

@@ -37,7 +37,10 @@ def main(argv):
         return 2
 
     max_level = pp.get_int("amr.max_level", 0)
-    if max_level > 0:
+    if hasattr(prob_cls, "set_initial_conditions_mhd"):
+        # constrained-transport MHD problems run their own driver
+        from quokka_tpu.mhd import MHDSimulation as SimCls
+    elif max_level > 0:
         from quokka_tpu.amr import AMRSimulation as SimCls
     else:
         SimCls = Simulation

@@ -46,8 +46,11 @@ def test_hlld_uniform_state_exact_flux():
     ptot = P + pb
     np.testing.assert_allclose(F[0], rho * u, rtol=1e-12)
     np.testing.assert_allclose(F[1], rho * u * u + ptot - bx**2, rtol=1e-12)
-    np.testing.assert_allclose(F[2], rho * v * u + bx * by, rtol=1e-12)
-    np.testing.assert_allclose(F[3], rho * w * u + bx * bz, rtol=1e-12)
+    # transverse momentum fluxes: rho*u*v - Bx*By (MK05 eq. 2; the
+    # reference's stub HLLD carries a "+" sign bug in this dead-code term,
+    # src/hydro/HLLD.hpp:108 -- see riemann.py::hlld)
+    np.testing.assert_allclose(F[2], rho * v * u - bx * by, rtol=1e-12)
+    np.testing.assert_allclose(F[3], rho * w * u - bx * bz, rtol=1e-12)
     np.testing.assert_allclose(
         F[4], u * (E + ptot - bx**2) - bx * (v * by + w * bz), rtol=1e-12
     )
