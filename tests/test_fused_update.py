@@ -101,6 +101,42 @@ def test_fused_ghostfree_matches_fused_padded():
     _ulp_close(U_pad, U_gf)
 
 
+def test_sharded_fused_matches_classic():
+    """The fused divergence path under shard_map (hybrid ghost-free: x/y
+    halo-padded, z kernel-assembled) must reproduce the classic sharded
+    step at contraction roundoff -- this is the configuration a real
+    multi-chip TPU runs."""
+    from quokka_tpu import ParmParse, Simulation
+    from quokka_tpu.parallel.decomp import make_decomposition
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    def run(fuse):
+        pp = ParmParse.from_string(
+            f"""
+            geometry.prob_hi = 1.2 1.2 1.2
+            amr.n_cell = 32 32 32
+            cfl = 0.3
+            max_timesteps = 6
+            hydro.use_pallas = 1
+            hydro.fuse_update = {fuse}
+            precision = single
+            verbose = 0
+            """
+        )
+        decomp = make_decomposition((32, 32, 32), tiles=(4, 2, 1))
+        sim = Simulation(SedovProblem(), pp, decomp=decomp,
+                         precision="single")
+        sim.set_initial_conditions()
+        sim.evolve()
+        return np.asarray(sim.U)
+
+    U_f = run(1)
+    U_c = run(0)
+    # 6 steps compound the per-step contraction roundoff; Sedov energies
+    # are O(100), so stay scale-aware but slightly looser than single-step
+    _ulp_close(U_f, U_c, rtol=1e-4, ulp_of_max=256)
+
+
 def test_fused_conserves():
     """Periodic box: the fused divergence update must telescope -- total
     mass/momentum/energy preserved to accumulation roundoff."""
