@@ -141,7 +141,10 @@ def run_amr_shell(n, max_level, steps):
     configuration, ``paper/strong_scaling.csv``: shell + 2 AMR levels).
     Dense-mask AMR advances full-domain arrays per level, so the FOM
     counts every level's cell updates, like the reference's
-    ``cellUpdatesEachLevel_``."""
+    ``cellUpdatesEachLevel_``. Default 32^3 + 2 levels (finest 128^3):
+    the reference runs shell 256^3 + 2 levels over FOUR V100s
+    (``paper/strong_scaling.csv``), so the single-chip analog holds the
+    per-device footprint, not the global one."""
     import time
 
     from quokka_tpu import ParmParse
@@ -180,7 +183,7 @@ def run_amr_shell(n, max_level, steps):
 def main():
     if MODE == "amr":
         mz, finest = run_amr_shell(
-            int(os.environ.get("QUOKKA_BENCH_AMR_N", "64")),
+            int(os.environ.get("QUOKKA_BENCH_AMR_N", "32")),
             int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2")), STEPS)
         print(json.dumps({
             "metric": f"AMR radhydro shell Mzone-updates/sec/chip "
@@ -251,6 +254,18 @@ def main():
             result["f64_size"] = F64_N
         except Exception as e:
             result["hydro_f64_error"] = str(e)[:200]
+
+    if os.environ.get("QUOKKA_BENCH_AMR", "1") == "1":
+        try:
+            mz, finest = run_amr_shell(
+                int(os.environ.get("QUOKKA_BENCH_AMR_N", "32")),
+                int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2")),
+                max(4, STEPS // 2))
+            result["amr_shell_mzones"] = round(mz, 3)
+            result["amr_finest_level"] = finest
+            result["amr_vs_v100"] = round(mz / 4.95, 4)
+        except Exception as e:
+            result["amr_shell_error"] = str(e)[:200]
 
     print(json.dumps(result))
 

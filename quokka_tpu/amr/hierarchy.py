@@ -221,15 +221,14 @@ class AMRSimulation(Simulation):
                 U_new = jnp.where(
                     mask[None], U_new, ops.prolong(Uc_end, active)
                 )
-                # restrict fluxes for the parent's flux register
-                fluxes_cr = {
-                    d: ops.restrict_face_flux(F, d, active, ng, ng)
-                    for d, F in fluxes.items()
-                }
+                # fluxes stay at THIS level's resolution: the reflux against
+                # level l+1 needs them here; restriction for the parent's
+                # flux register happens in the driver (once, after the
+                # radiation components join)
                 smax = jnp.max(
                     jnp.where(mask, euler.max_signal_speed(U_new, opts.eos), 0.0)
                 )
-                return U_new, fluxes_cr, {"max_signal": smax, "valid": ok, **stats}
+                return U_new, fluxes, {"max_signal": smax, "valid": ok, **stats}
 
         jitted = jax.jit(step)
         self._level_step_jits[l] = jitted
@@ -274,7 +273,25 @@ class AMRSimulation(Simulation):
             corr_int = jnp.concatenate([corr_int, pad], axis=0)
         # apply only to uncovered coarse cells (covered ones get averaged down)
         U = U + jnp.where(cmask[None], 0.0, corr_int)
-        self.level_U[l] = U
+        self.level_U[l] = self._rad_fixup(U)
+
+    def _rad_fixup(self, U):
+        """Radiation floor after reflux corrections (the radiation analog of
+        the reference's post-reflux FixupState; its radiation system floors
+        Erad everywhere it updates it, ``src/radiation/radiation_system.hpp``
+        Erad_floor_). A reflux correction can push an uncovered coarse
+        cell's Erad negative; prolongation then seeds the fine level's
+        transport with it, whose donor-cell admissibility fallback divides
+        by the (negative) cell Erad -> NaN. Flooring here keeps the
+        invariant Erad > 0 that the transport fallback relies on."""
+        if not self.layout.radiation_enabled or self._radiation is None:
+            return U
+        rs = self.layout.rad_start
+        G = self.layout.n_groups
+        floor = self._radiation.opts.erad_floor
+        R = U[rs:].reshape(G, 4, *U.shape[1:])
+        R = R.at[:, 0].set(jnp.maximum(R[:, 0], floor))
+        return U.at[rs:].set(R.reshape(G * 4, *U.shape[1:]))
 
     def _average_down(self, l: int):
         """U_l := restriction of U_{l+1} where covered."""
@@ -450,7 +467,9 @@ class AMRSimulation(Simulation):
         if self.constant_dt > 0.0:
             return min(self.constant_dt, self.stop_time - self.t)
         # dt_0 = min over levels of 2^l * cfl * dx_l / smax_l  (reference
-        # computeTimestep with default subcycling, src/simulation.hpp:722-818)
+        # computeTimestep with default subcycling, src/simulation.hpp:722-818).
+        # All level reductions stay on device; ONE host sync at the end.
+        parts = []
         dt0 = np.inf
         for l in range(self.finest_level + 1):
             # subcycled: level l runs 2^l substeps per coarse step, so the
@@ -461,10 +480,12 @@ class AMRSimulation(Simulation):
             sig = euler.max_signal_speed(self.level_U[l][: self.layout.nvar_hydro], opts.eos)
             if l > 0:
                 sig = jnp.where(self.level_mask[l], sig, 0.0)
-            smax = float(jnp.max(sig))
-            if smax > 0:
-                dt_l = self.cfl * self.level_grids[l].dx_min / smax
-                dt0 = min(dt0, fac * dt_l)
+            smax = jnp.max(sig)
+            parts.append(jnp.where(
+                smax > 0,
+                fac * self.cfl * self.level_grids[l].dx_min / smax,
+                jnp.inf,
+            ))
             if self.layout.radiation_enabled and self._radiation is not None:
                 # cap dt so the per-level radiation subcycle count stays
                 # within max_substeps, at the RADIATION cfl (reference
@@ -473,6 +494,8 @@ class AMRSimulation(Simulation):
                 dt_l = (ropts.max_substeps * ropts.cfl
                         * self.level_grids[l].dx_min / ropts.chat)
                 dt0 = min(dt0, fac * dt_l)
+        if parts:
+            dt0 = min(dt0, float(jnp.min(jnp.stack(parts))))
         dt0 = min(dt0, 1.1 * self.dt_prev, self.max_dt)
         if self.t == 0.0:
             dt0 = min(dt0, self.init_dt)
@@ -499,19 +522,15 @@ class AMRSimulation(Simulation):
             for i in range(nsub):
                 self._substep_valid_flags = []
                 self._timestep_with_subcycling(0, self.t + i * dt / nsub, dt / nsub)
-                # strang-source failures (burn/cooling non-convergence)
-                # collected on-device across all levels/substeps, one host
-                # sync per coarse substep (reference burn_success contract)
+                # strang-source failures (burn/cooling non-convergence) AND
+                # per-level state-finiteness flags are all collected
+                # ON-DEVICE across levels/substeps; exactly ONE host sync per
+                # coarse substep triggers the retry ladder (the reference
+                # host-checks per level, src/QuokkaSimulation.hpp:886-990)
                 if self._substep_valid_flags and not bool(
                     jnp.all(jnp.stack(self._substep_valid_flags))
                 ):
                     ok = False
-                    break
-                for l in range(self.finest_level + 1):
-                    if not bool(jnp.all(jnp.isfinite(self.level_U[l]))):
-                        ok = False
-                        break
-                if not ok:
                     break
             if ok:
                 self.U = self.level_U[0]
@@ -568,13 +587,9 @@ class AMRSimulation(Simulation):
                     self.level_mask[l][None], U_new,
                     ops.prolong(Uc_end, self.grid.active_axes),
                 )
-                rad_flux = {
-                    d: ops.restrict_face_flux(
-                        F, d, self.grid.active_axes, self.ng, self.ng
-                    )
-                    for d, F in rad_flux.items()
-                }
-            # radiation components join the flux register like hydro ones
+            # radiation components join the flux register like hydro ones;
+            # the dict stays at THIS level's resolution (the reflux against
+            # level l+1 reads it) -- restriction to the parent happens below
             fluxes = {
                 d: jnp.concatenate([fluxes[d], rad_flux[d]], axis=0)
                 for d in fluxes
@@ -582,6 +597,10 @@ class AMRSimulation(Simulation):
         self.level_U[l] = U_new
         self.level_steps[l] += 1
         self.cell_updates += self.level_grids[l].num_cells
+        # device-side finiteness flag (stays on device; the coarse-substep
+        # driver stacks all flags and syncs once)
+        if hasattr(self, "_substep_valid_flags"):
+            self._substep_valid_flags.append(jnp.all(jnp.isfinite(U_new)))
 
         if l < self.finest_level:
             # save parent old/new for the children's space-time ghost fill
@@ -621,7 +640,15 @@ class AMRSimulation(Simulation):
             self._average_down(l)
 
         if l > 0:
-            self._last_restricted_fluxes = fluxes
+            # publish to the parent's flux register at the PARENT's
+            # resolution (restriction is linear, so restrict-then-average
+            # over fine substeps equals average-then-restrict)
+            self._last_restricted_fluxes = {
+                d: ops.restrict_face_flux(
+                    F, d, self.grid.active_axes, self.ng, self.ng
+                )
+                for d, F in fluxes.items()
+            }
 
     # ------------------------------------------------------------ diagnostics
     def _composite_sums(self):

@@ -66,12 +66,16 @@ def prolong(U: jnp.ndarray, active_axes: Sequence[int]) -> jnp.ndarray:
             mn = jnp.minimum(mn, jnp.minimum(sh(mn, 1, ax), sh(mn, -1, ax)))
             mx = jnp.maximum(mx, jnp.maximum(sh(mx, 1, ax), sh(mx, -1, ax)))
         s_sum = sum(jnp.abs(slopes[d]) for d in active_axes) * 0.25
-        tiny = jnp.finfo(U.dtype).tiny
-        alpha = jnp.minimum(
-            1.0,
-            jnp.minimum(U - mn, mx - U) / jnp.maximum(s_sum, tiny),
-        )
-        alpha = jnp.maximum(alpha, 0.0)
+        # guard the division with a SELECT, not a finfo.tiny clamp: the
+        # minimum normal f64 is not representable on the TPU's f32-pair
+        # f64 emulation (flushes to 0 -> 0/0 = NaN on flat cells), and a
+        # miscompiled XLA:CPU AOT cache was observed flushing it on CPU
+        # hosts too. With s_sum == 0 every slope is zero, so alpha = 1 is
+        # exact.
+        flat = s_sum <= 0.0
+        denom = jnp.where(flat, 1.0, s_sum)
+        alpha = jnp.minimum(1.0, jnp.minimum(U - mn, mx - U) / denom)
+        alpha = jnp.where(flat, 1.0, jnp.maximum(alpha, 0.0))
         slopes = {d: alpha * s for d, s in slopes.items()}
     out = U
     out_slopes = dict(slopes)

@@ -549,6 +549,7 @@ def _advance_hydro_rk2_fused(
     fill_fn2=None,
     redo_any_fn=None,
     bc_kinds: dict | None = None,
+    return_fluxes: bool = False,
 ):
     """RK2-SSP hydro step on the kernel-fused divergence fast path.
 
@@ -623,10 +624,67 @@ def _advance_hydro_rk2_fused(
         return U1, {"n_fofc": n1}
 
     # ---- stage 2: divergence of the in-VMEM time-averaged flux
+    # (with return_fluxes -- the AMR reflux path -- the same kernels also
+    # emit the time-averaged face flux for the parent's flux register)
     Ug1 = fill_fn2(U1)
-    r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, avg_with=r1)
-    U2_try = _apply_from_divs(U, Ug0, r2["divs"], r2["dvels"], dt, ng, opts)
+    r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, avg_with=r1,
+                                   emit_avg_flux=return_fluxes)
+    dvels2 = r2["dvels"]
+    if return_fluxes:
+        # emit_avg_flux kernels return the RAW stage-2 velocity divergence
+        # (VMEM budget); average with stage 1's here -- divergence is linear
+        dvels2 = {d: 0.5 * (r1["dvels"][d] + r2["dvels"][d]) for d in dvels2}
+    U2_try = _apply_from_divs(U, Ug0, r2["divs"], dvels2, dt, ng, opts)
     redo2 = jnp.logical_not(euler.is_state_valid(U2_try, eos))
+
+    if return_fluxes:
+        # reflux consumers need the FINAL (post-FOFC-blend) time-averaged
+        # fluxes, so both cond branches return them alongside the state
+        axes_k = sorted(r2["fluxes"])
+
+        def _packf(fl):
+            return tuple(fl[d] for d in axes_k)
+
+        def _fallback2_f(_):
+            fl1f, fv1f, _flh, _fvh, _m1 = blend_stage1(redo1)
+            fl2r, fv2r = compute_fluxes(Ug1, opts)
+            flux_avg = {d: 0.5 * (fl1f[d] + fl2r[d]) for d in fl1f}
+            vel_avg = {d: 0.5 * (fv1f[d] + fv2r[d]) for d in fv1f}
+            U2a = apply_fluxes(flux_avg, vel_avg, None, {}, {})
+            redo2b = jnp.logical_not(euler.is_state_valid(U2a, eos))
+            n2b = jnp.sum(redo2b)
+
+            def _redo2_branch(_):
+                mask_p = mask_fill_fn(redo2b)
+                fo_fl, fo_fv = fo_fluxes_fn()
+                fl, fv = _blend_fofc(
+                    flux_avg, vel_avg, fo_fl, fo_fv, mask_p, opts
+                )
+                return (apply_fluxes(fl, fv, mask_p, {}, {}),) + _packf(fl)
+
+            def _ok2(_):
+                return (U2a,) + _packf(flux_avg)
+
+            res = _lax.cond(redo_any_fn(redo2b), _redo2_branch, _ok2, None)
+            return res + (n2b,)
+
+        def _clean2_f(_):
+            return (U2_try,) + _packf(r2["fluxes"]) + (jnp.sum(redo2),)
+
+        res = _lax.cond(
+            jnp.logical_or(fired1, redo_any_fn(redo2)),
+            _fallback2_f, _clean2_f, None,
+        )
+        U2 = res[0]
+        fl_out = {d: res[1 + i] for i, d in enumerate(axes_k)}
+        n2 = res[-1]
+        U2 = euler.enforce_limits(
+            U2, eos, opts.density_floor, opts.temperature_floor,
+            opts.n_scalars,
+        )
+        if opts.use_dual_energy and not eos.is_isothermal:
+            U2 = euler.sync_dual_energy(U2)
+        return U2, {"n_fofc": n1 + n2, "fluxes": fl_out}
 
     def _fallback2(_):
         # reproduce the classic path: stage-1 final (blended) fluxes, the
@@ -719,19 +777,32 @@ def advance_hydro_rk2(
         raise NotImplementedError("return_fluxes is not supported ghost-free")
 
     # kernel-fused divergence fast path (identical numerics, pointwise
-    # common-path update); flux registers (return_fluxes) need the
-    # materialized time-averaged fluxes, so AMR refluxing keeps the
-    # classic formulation
+    # common-path update). Flux registers (return_fluxes, the AMR path)
+    # ride it too: the stage-2 kernels additionally emit the time-averaged
+    # face flux for refluxing (padded RK2 arrays only) -- but only while
+    # the kernels fit VMEM: the sweep body's live set at a 264-long padded
+    # sweep axis already spills ~81M, and the extra averaged-flux window
+    # pushes past the 128M budget (measured on v5e), so large levels fall
+    # back to the classic Pallas flux kernels.
+    import os as _os
+
+    _fused_reflux_max = int(
+        _os.environ.get("QUOKKA_FUSED_REFLUX_MAX_DIM", "176")
+    )
+    fits_vmem = (
+        max(U.shape[1:]) + 2 * opts.nghost <= _fused_reflux_max
+    )
     if (
         opts.use_pallas
         and opts.fuse_update
         and len(opts.active_axes) == 3
         and U.dtype == jnp.float32
-        and not return_fluxes
+        and (not return_fluxes
+             or (bc_kinds is None and opts.rk_order == 2 and fits_vmem))
     ):
         return _advance_hydro_rk2_fused(
             U, dt, opts, fill_fn, ng, periodic, mask_fill_fn, fill_fn2,
-            redo_any_fn, bc_kinds,
+            redo_any_fn, bc_kinds, return_fluxes=return_fluxes,
         )
 
     # ---- stage 1

@@ -457,6 +457,7 @@ def compute_axis_flux_pallas(
     chi_ghost_axis: tuple | None = None,
     dx_axis: float | None = None,
     avg_with: tuple | None = None,
+    emit_avg_flux: bool = False,
 ):
     """Single fused kernel: flux + face velocity for one sweep axis.
 
@@ -484,7 +485,13 @@ def compute_axis_flux_pallas(
     0.5*(F1 + F2) -- the average is formed in VMEM, bit-identical to the
     XLA `0.5*(fl1+fl2)` arrays the classic path materializes in HBM --
     while the flux/facevel outputs remain the RAW stage-2 values (the
-    cond-gated FOFC fallback re-averages in XLA exactly as before)."""
+    cond-gated FOFC fallback re-averages in XLA exactly as before).
+
+    ``emit_avg_flux`` (with ``avg_with``; padded arrays only): ALSO write
+    the time-averaged face flux 0.5*(F1+F2) as an output -- what AMR flux
+    registers consume (the level update stays pointwise from the fused
+    divergence while the averaged flux feeds refluxing,
+    reference `YAFluxRegister` semantics)."""
     if block_transverse is None:
         block_transverse = _BLOCK_TRANSVERSE
     nv = prim.shape[0]
@@ -515,6 +522,9 @@ def compute_axis_flux_pallas(
     wall = bc_axis is not None
     with_div = dx_axis is not None
     has_avg = avg_with is not None
+    if emit_avg_flux and (wall or not has_avg):
+        raise ValueError("emit_avg_flux requires avg_with and padded "
+                         "(non-wall) arrays -- the AMR reflux path")
 
     # 8-wide window blocks along the sweep axis (width-1 blocks on a tiled
     # dim crash the Mosaic lowering), used for the chi ghost-plane inputs
@@ -545,12 +555,16 @@ def compute_axis_flux_pallas(
             in_specs.append(pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM))
             chi_ghi = True
 
-    # stage-1 face arrays for in-VMEM time averaging (RK2 stage 2)
+    # stage-1 face arrays for in-VMEM time averaging (RK2 stage 2).
+    # emit_avg_flux kernels skip the v1 input (and average the velocity
+    # divergence in XLA instead): the extra averaged-flux output window
+    # would otherwise overflow the 128M VMEM budget at 264^3.
     if has_avg:
         inputs.append(avg_with[0])
         in_specs.append(pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM))
-        inputs.append(avg_with[1])
-        in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
+        if not emit_avg_flux:
+            inputs.append(avg_with[1])
+            in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
         if wall:
             flh1, fvh1 = avg_with[2], avg_with[3]
             w4 = tuple(8 if i == 1 + axis else s
@@ -575,17 +589,24 @@ def compute_axis_flux_pallas(
         idx += int(bool(chi_ghi))
         F1_ref = v1_ref = flh1_ref = fvh1_ref = None
         if has_avg:
-            F1_ref, v1_ref = refs[idx], refs[idx + 1]
-            idx += 2
+            F1_ref = refs[idx]
+            idx += 1
+            if not emit_avg_flux:
+                v1_ref = refs[idx]
+                idx += 1
             if wall:
                 flh1_ref, fvh1_ref = refs[idx], refs[idx + 1]
                 idx += 2
-        flux_ref = vel_ref = flux_hi_ref = vel_hi_ref = None
+        flux_ref = vel_ref = flux_hi_ref = vel_hi_ref = favg_ref = None
         if has_avg:
             # avg (RK2 stage-2) kernels emit ONLY the divergences: the
             # VMEM budget and HBM write traffic of the raw face arrays are
-            # saved; the rare FOFC fallback recomputes them in XLA
+            # saved; the rare FOFC fallback recomputes them in XLA.
+            # (emit_avg_flux adds the time-averaged flux itself for the
+            # AMR flux registers.)
             div_ref, dvel_ref = refs[idx], refs[idx + 1]
+            if emit_avg_flux:
+                favg_ref = refs[idx + 2]
         else:
             flux_ref, vel_ref = refs[idx], refs[idx + 1]
             k = idx + 2
@@ -679,9 +700,16 @@ def compute_axis_flux_pallas(
                 Fd, vd = F, v
                 if has_avg:
                     Fd = 0.5 * (F1_ref[...] + F)
-                    vd = 0.5 * (v1_ref[...] + v)
+                    # emit_avg_flux: dvel stays the RAW stage-2 velocity
+                    # divergence (the caller averages it with stage 1's --
+                    # divergence is linear, so 0.5*(dvel1+dvel2) equals the
+                    # averaged-velocity divergence up to FMA contraction)
+                    if v1_ref is not None:
+                        vd = 0.5 * (v1_ref[...] + v)
                 div_ref[...] = (Fd - sh(Fd, 1, 1 + axis)) / dx_axis
                 dvel_ref[...] = (sh(vd, 1, axis) - vd) / dx_axis
+                if favg_ref is not None:
+                    favg_ref[...] = Fd
 
     if has_avg:
         out_specs = [
@@ -692,6 +720,10 @@ def compute_axis_flux_pallas(
             jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
             jax.ShapeDtypeStruct((X, Y, Z), dtype),
         ]
+        if emit_avg_flux:
+            out_specs.append(pl.BlockSpec(shape4, imap4,
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nv, X, Y, Z), dtype))
     else:
         out_specs = [
             pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
@@ -736,6 +768,8 @@ def compute_axis_flux_pallas(
         ),
     )(*inputs)
     if has_avg:
+        if emit_avg_flux:
+            return outs[0], outs[1], outs[2]  # (div, dvel, F_avg)
         return outs[0], outs[1]  # (div, dvel) of the time-averaged flux
     div_tail = tuple(outs[-2:]) if with_div else ()
     if wall:
@@ -754,7 +788,8 @@ def compute_axis_flux_pallas(
 
 def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
                               bc_kinds: dict | None = None,
-                              avg_with: dict | None = None) -> dict:
+                              avg_with: dict | None = None,
+                              emit_avg_flux: bool = False) -> dict:
     """Sweep all axes once, emitting fluxes AND their divergence
     contributions from the same kernels (see `compute_axis_flux_pallas`
     ``dx_axis``). Returns a dict with keys ``fluxes``, ``facevels``,
@@ -787,9 +822,14 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
             prim, d, opts, chi_cell, dmins, False,
             bc_axis=bc_axis, chi_ghost_axis=chi_ghost.get(d),
             dx_axis=opts.dx[d], avg_with=avg_axis,
+            emit_avg_flux=emit_avg_flux,
         )
         if avg_axis is not None:
-            dv, dl = res
+            if emit_avg_flux:
+                dv, dl, favg = res
+                out["fluxes"][d] = favg  # time-averaged: feeds AMR reflux
+            else:
+                dv, dl = res
         elif bc_axis is None:
             F, v, dv, dl = res
         else:

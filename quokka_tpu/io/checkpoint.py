@@ -36,6 +36,61 @@ def _load_array(path_no_ext: str):
     return np.load(path_no_ext + ".npy")
 
 
+def _save_state(path_no_ext: str, arr, sharded: bool):
+    """Checkpoint one state array.
+
+    When `sharded` and the array lives block-sharded on the device mesh,
+    each device's shard is transferred and queued as its OWN file (plus a
+    small JSON manifest mapping shard files to global index blocks) -- the
+    per-rank serialization of the reference's VisMF checkpoint writer
+    (``src/simulation.hpp:2564-2675``, AMReX WriteMultiLevelPlotfile):
+    device->host transfers of later shards overlap the native thread
+    pool's writes of earlier ones, and no host buffer ever holds the
+    global array. Otherwise: one global write."""
+    shards = getattr(arr, "addressable_shards", None)
+    if sharded and shards is not None and len(shards) > 1:
+        manifest = {
+            "global_shape": [int(n) for n in arr.shape],
+            "dtype": str(np.dtype(arr.dtype)),
+            "shards": [],
+        }
+        seen = set()  # axes replicated across devices: write one copy
+        for i, s in enumerate(shards):
+            idx = [
+                [int(sl.start or 0),
+                 int(sl.stop) if sl.stop is not None else int(dim)]
+                for sl, dim in zip(s.index, arr.shape)
+            ]
+            key = tuple(tuple(p) for p in idx)
+            if key in seen:
+                continue
+            seen.add(key)
+            fn = f"{path_no_ext}.shard{i}"
+            _save_array(fn, s.data)
+            manifest["shards"].append(
+                {"file": os.path.basename(fn), "index": idx}
+            )
+        with open(path_no_ext + ".shards.json", "w") as f:
+            json.dump(manifest, f)
+        return
+    _save_array(path_no_ext, arr)
+
+
+def _load_state(path_no_ext: str):
+    """Read a state array written by `_save_state` (sharded or global)."""
+    mf = path_no_ext + ".shards.json"
+    if os.path.exists(mf):
+        with open(mf) as f:
+            m = json.load(f)
+        out = np.empty(m["global_shape"], dtype=np.dtype(m["dtype"]))
+        base = os.path.dirname(path_no_ext)
+        for e in m["shards"]:
+            sl = tuple(slice(a, b) for a, b in e["index"])
+            out[sl] = _load_array(os.path.join(base, e["file"]))
+        return out
+    return _load_array(path_no_ext)
+
+
 def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     name = f"{prefix}{sim.istep:07d}"
     path = os.path.join(directory, name)
@@ -63,7 +118,12 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     with open(os.path.join(path, "Header"), "w") as f:
         json.dump(header, f, indent=1)
 
-    _save_array(os.path.join(path, "Level_0", "state"), sim.U)
+    # per-shard serialization when the state is block-sharded over the
+    # device mesh (checkpoint.sharded = 0 forces single global files)
+    sharded = getattr(sim, "decomp", None) is not None and bool(
+        sim.pp.get_int("checkpoint.sharded", 1)
+    )
+    _save_state(os.path.join(path, "Level_0", "state"), sim.U, sharded)
     # face-centered state (reference Level_*/Face_{x,y,z} VisMF binaries)
     if getattr(sim, "U_fc", None) is not None:
         for d, nm in enumerate(("Face_x", "Face_y", "Face_z")):
@@ -71,8 +131,8 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     for l in range(1, finest + 1):
         lvl_dir = os.path.join(path, f"Level_{l}")
         os.makedirs(lvl_dir, exist_ok=True)
-        _save_array(os.path.join(lvl_dir, "state"), sim.level_U[l])
-        _save_array(os.path.join(lvl_dir, "mask"), sim.level_mask[l])
+        _save_state(os.path.join(lvl_dir, "state"), sim.level_U[l], sharded)
+        _save_state(os.path.join(lvl_dir, "mask"), sim.level_mask[l], sharded)
 
     if sim.particles is not None:
         pdir = os.path.join(path, "Particles")
@@ -114,7 +174,7 @@ def read_checkpoint(sim, path: str):
     with open(os.path.join(path, "Header")) as f:
         header = json.load(f)
     native.drain()  # ensure in-flight checkpoint writes are on disk
-    U = _load_array(os.path.join(path, "Level_0", "state"))
+    U = _load_state(os.path.join(path, "Level_0", "state"))
     if tuple(header["n_cell"]) != tuple(sim.grid.n_cell):
         raise ValueError(
             f"checkpoint grid {header['n_cell']} != simulation grid {sim.grid.n_cell}"
@@ -150,9 +210,9 @@ def read_checkpoint(sim, path: str):
         for l in range(1, finest + 1):
             lvl_dir = os.path.join(path, f"Level_{l}")
             sim.level_U[l] = jnp.asarray(
-                _load_array(os.path.join(lvl_dir, "state")), dtype=sim.dtype
+                _load_state(os.path.join(lvl_dir, "state")), dtype=sim.dtype
             )
-            sim.level_mask[l] = jnp.asarray(_load_array(os.path.join(lvl_dir, "mask")))
+            sim.level_mask[l] = jnp.asarray(_load_state(os.path.join(lvl_dir, "mask")))
 
     pfile = os.path.join(path, "Particles", "cic.npz")
     if os.path.exists(pfile):

@@ -37,7 +37,11 @@ def _dense_solve(A: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     equilibration across the integrator's operating range (validated
     against linalg.solve in tests/test_chemistry.py)."""
     n = A.shape[0]
-    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+    # singular-pivot floor: rows are equilibrated to max-abs 1, so eps^2 is
+    # far below any legitimate pivot. NOT finfo.tiny -- the minimum normal
+    # f64 is unrepresentable on the TPU's f32-pair f64 emulation (flushes
+    # to 0, voiding the guard).
+    tiny = jnp.asarray(jnp.finfo(A.dtype).eps, A.dtype) ** 2
 
     s = jnp.max(jnp.abs(A), axis=1, keepdims=True)
     s = jnp.where(s > 0, s, jnp.ones_like(s))

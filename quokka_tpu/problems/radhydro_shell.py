@@ -155,8 +155,13 @@ class RadhydroShellProblem(Problem):
     physics = PhysicsTraits(hydro_enabled=True, radiation_enabled=True)
     eos_traits = EOSTraits(gamma=GAMMA, mean_molecular_weight=MU_CODE,
                            boltzmann_constant=1.0)
+    # Erad floor: the reference sets 0 (test_radhydro_shell.cpp:57) and
+    # relies on f64's exponent range to keep Erad positive; the profile's
+    # 1e-300 floor IS zero in f32, and a zero-Erad cell NaNs the HLL
+    # admissibility fallback (divides by the cell Erad). 1e-10 code units
+    # is ~4e-13 of the peak Erad -- dynamically negligible, f32-safe.
     rad = RadTraits(c_light=C_CODE, c_hat=CHAT_CODE,
-                    radiation_constant=A_RAD_CODE, Erad_floor=0.0,
+                    radiation_constant=A_RAD_CODE, Erad_floor=1.0e-10,
                     beta_order=1)
     bcs = BCSpec(x=(BC_PERIODIC, BC_PERIODIC), y=(BC_PERIODIC, BC_PERIODIC),
                  z=(BC_PERIODIC, BC_PERIODIC))

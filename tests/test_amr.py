@@ -150,3 +150,40 @@ def test_reflux_required_for_conservation():
     # (the blast crosses the coarse-fine boundary over this horizon)
     assert abs(sim_on.conservation_rel_err[EGAS]) < 1e-11
     assert abs(sim_off.conservation_rel_err[EGAS]) > 1e-9
+
+
+class Blast2DTight(Blast2D):
+    """Tighter level-1+ tagging so a 3-level hierarchy actually forms."""
+
+    def error_est(self, sim, level):
+        U = sim.level_U[level]
+        q = U[EGAS]
+        grad = jnp.zeros_like(q)
+        for d in sim.grid.active_axes:
+            grad = jnp.maximum(
+                grad,
+                jnp.abs(jnp.roll(q, -1, d) - jnp.roll(q, 1, d))
+                / jnp.maximum(jnp.abs(q), 1e-10),
+            )
+        return grad > (0.05 if level == 0 else 0.2)
+
+
+def test_amr_three_levels_conservation():
+    """3-level subcycled hierarchy with refluxing at BOTH coarse-fine
+    boundaries: intermediate levels must reflux against their children at
+    their OWN resolution while publishing parent-resolution fluxes upward
+    (a level-1 reflux with already-restricted fluxes is the round-2 bug
+    this pins down). Composite conservation to roundoff, like the
+    reference's multi-level YAFluxRegister chain."""
+    pp = ParmParse.from_string(
+        CFG + "amr.n_cell = 32 32 1\namr.max_level = 2\ndo_reflux = 1\n"
+        "max_timesteps = 6\n"
+    )
+    sim = AMRSimulation(Blast2DTight(), pp)
+    sim.set_initial_conditions()
+    assert sim.finest_level == 2
+    sim.evolve()
+    for l in range(sim.finest_level + 1):
+        assert np.all(np.isfinite(np.asarray(sim.level_U[l])))
+    assert abs(sim.conservation_rel_err[RHO]) < 1e-11
+    assert abs(sim.conservation_rel_err[EGAS]) < 1e-11

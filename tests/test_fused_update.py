@@ -137,6 +137,58 @@ def test_sharded_fused_matches_classic():
     _ulp_close(U_f, U_c, rtol=1e-4, ulp_of_max=256)
 
 
+def test_amr_fused_matches_classic():
+    """AMR levels ride the fused divergence path too (the stage-2 kernels
+    emit the time-averaged flux for refluxing): a refluxing 2-level Sedov
+    hierarchy must match the classic formulation at contraction roundoff
+    on every level, with the composite conservation audit intact."""
+    from quokka_tpu import ParmParse
+    from quokka_tpu.amr.hierarchy import AMRSimulation
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    class SedovAMR(SedovProblem):
+        def error_est(self, sim, level):
+            U = sim.level_U[level]
+            q = U[EGAS]
+            grad = jnp.zeros_like(q)
+            for d in sim.grid.active_axes:
+                grad = jnp.maximum(
+                    grad,
+                    jnp.abs(jnp.roll(q, -1, d) - jnp.roll(q, 1, d))
+                    / jnp.maximum(jnp.abs(q), 1e-10),
+                )
+            return grad > 0.1
+
+    def run(fuse):
+        pp = ParmParse.from_string(
+            f"""
+            geometry.prob_hi = 1.2 1.2 1.2
+            amr.n_cell = 16 16 16
+            amr.max_level = 1
+            do_reflux = 1
+            cfl = 0.3
+            max_timesteps = 4
+            hydro.use_pallas = 1
+            hydro.fuse_update = {fuse}
+            precision = single
+            verbose = 0
+            """
+        )
+        sim = AMRSimulation(SedovAMR(), pp, precision="single")
+        sim.set_initial_conditions()
+        sim.evolve()
+        levels = [np.asarray(u) for u in sim.level_U[: sim.finest_level + 1]]
+        return levels, sim.conservation_rel_err
+
+    U_f, cons_f = run(1)
+    U_c, cons_c = run(0)
+    assert len(U_f) == 2  # the hierarchy actually refined
+    for a, b in zip(U_f, U_c):
+        _ulp_close(a, b, rtol=1e-5, ulp_of_max=128)
+    # mass + total-energy conservation of the composite audit
+    assert abs(cons_f[0]) < 1e-6 and abs(cons_f[4]) < 1e-6
+
+
 def test_fused_conserves():
     """Periodic box: the fused divergence update must telescope -- total
     mass/momentum/energy preserved to accumulation roundoff."""

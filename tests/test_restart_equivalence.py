@@ -92,6 +92,57 @@ def test_restart_continue_equivalence(tmp_path):
     )
 
 
+def test_restart_sharded_per_shard_files(tmp_path):
+    """Under a device-mesh decomposition, checkpoints are serialized
+    per-shard (one file per device block + manifest, the reference's
+    per-rank VisMF layout) and restart-continue stays bitwise equal to
+    the uninterrupted sharded run."""
+    import glob
+
+    from quokka_tpu.parallel.decomp import make_decomposition
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    cfg = """
+    amr.n_cell = 32 32 32
+    geometry.prob_lo = 0. 0. 0.
+    geometry.prob_hi = 1.2 1.2 1.2
+    cfl = 0.3
+    stop_time = 1.0
+    verbose = 0
+    """
+
+    def run(extra, d):
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            pp = ParmParse.from_string(cfg + extra)
+            decomp = make_decomposition((32, 32, 32), tiles=(4, 2, 1))
+            sim = Simulation(SedovProblem(), pp, decomp=decomp)
+            sim.set_initial_conditions()
+            sim.evolve()
+            return sim
+        finally:
+            os.chdir(cwd)
+
+    (tmp_path / "full").mkdir()
+    sim_full = run("max_timesteps = 6\n", tmp_path / "full")
+
+    part = tmp_path / "part"
+    part.mkdir()
+    run("max_timesteps = 3\ncheckpoint_interval = 3\n", part)
+    chk = part / "last_chk"
+    assert chk.exists()
+    shard_files = glob.glob(str(part / "chk*" / "Level_0" / "state.shard*"))
+    manifest = glob.glob(str(part / "chk*" / "Level_0" / "state.shards.json"))
+    assert manifest, "sharded checkpoint must write a shard manifest"
+    assert len([f for f in shard_files if not f.endswith(".json")]) == 8
+
+    sim_rest = run(f"max_timesteps = 6\nrestartfile = {chk}\n", part)
+    np.testing.assert_array_equal(
+        np.asarray(sim_rest.U), np.asarray(sim_full.U)
+    )
+
+
 def test_restart_walltime_interrupt(tmp_path):
     """max_walltime-triggered graceful stop writes a restartable checkpoint
     (the reference's actual interrupt mechanism in the CI script)."""
