@@ -141,10 +141,12 @@ def run_amr_shell(n, max_level, steps):
     configuration, ``paper/strong_scaling.csv``: shell + 2 AMR levels).
     Dense-mask AMR advances full-domain arrays per level, so the FOM
     counts every level's cell updates, like the reference's
-    ``cellUpdatesEachLevel_``. Default 32^3 + 2 levels (finest 128^3):
-    the reference runs shell 256^3 + 2 levels over FOUR V100s
-    (``paper/strong_scaling.csv``), so the single-chip analog holds the
-    per-device footprint, not the global one."""
+    ``cellUpdatesEachLevel_``. Default 64^3 + 1 refinement level (finest
+    128^3): the reference runs shell 256^3 + 2 levels over FOUR V100s
+    (``paper/strong_scaling.csv``) -- with dense full-domain levels the
+    single-chip analog holds the per-device footprint, not the global
+    one (256^3-finest dense hierarchies exceed one chip's HBM, and the
+    shell is not resolved at 32^3-base in f32)."""
     import time
 
     from quokka_tpu import ParmParse
@@ -183,8 +185,8 @@ def run_amr_shell(n, max_level, steps):
 def main():
     if MODE == "amr":
         mz, finest = run_amr_shell(
-            int(os.environ.get("QUOKKA_BENCH_AMR_N", "32")),
-            int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2")), STEPS)
+            int(os.environ.get("QUOKKA_BENCH_AMR_N", "64")),
+            int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "1")), STEPS)
         print(json.dumps({
             "metric": f"AMR radhydro shell Mzone-updates/sec/chip "
                       f"(finest level {finest})",
@@ -258,8 +260,8 @@ def main():
     if os.environ.get("QUOKKA_BENCH_AMR", "1") == "1":
         try:
             mz, finest = run_amr_shell(
-                int(os.environ.get("QUOKKA_BENCH_AMR_N", "32")),
-                int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2")),
+                int(os.environ.get("QUOKKA_BENCH_AMR_N", "64")),
+                int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "1")),
                 max(4, STEPS // 2))
             result["amr_shell_mzones"] = round(mz, 3)
             result["amr_finest_level"] = finest

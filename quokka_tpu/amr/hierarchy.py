@@ -83,6 +83,13 @@ class AMRSimulation(Simulation):
 
         self._level_step_jits: Dict[int, Callable] = {}
         self._level_rad: Dict[int, object] = {}
+        # jitted inter-level operators (reflux/average-down/publication/dt):
+        # eager per-op dispatch of these costs ~10 s/call over the remote
+        # TPU attachment (measured: reflux 10.8 s eager vs one jit call)
+        self._reflux_jits: Dict[int, Callable] = {}
+        self._avgdown_jits: Dict[int, Callable] = {}
+        self._publish_jits: Dict[int, Callable] = {}
+        self._dt_jits: Dict[int, Callable] = {}
 
     # ------------------------------------------------------------------ setup
     def _shard_level(self, l: int):
@@ -244,36 +251,46 @@ class AMRSimulation(Simulation):
     # ---------------------------------------------------------------- reflux
     def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float):
         """Apply the coarse-fine flux mismatch to uncovered coarse cells
-        (reference `YAFluxRegister::Reflux` semantics)."""
-        cmask = ops.restrict_mask_any(self.level_mask[l + 1], self.grid.active_axes)
-        U = self.level_U[l]
-        opts = self.level_opts[l]
-        correction = None
-        for d, Fc in F_crse.items():
-            # boundary faces: covered/uncovered status differs across the face
-            m = cmask
-            m_m1 = sh(m, -1, d)
-            # mask in padded coords
-            m_p = jnp.pad(m, [(g, g) for g in self.ng])
-            m_p_m1 = sh(m_p, -1, d)
-            boundary = m_p != m_p_m1
-            dF = jnp.where(boundary[None], F_fine_sum[d] - Fc, 0.0)
-            contrib = (dF - sh(dF, 1, d + 1)) * (dt_c / opts.dx[d])
-            correction = contrib if correction is None else correction + contrib
-        from ..stencil import interior
+        (reference `YAFluxRegister::Reflux` semantics). One jitted call per
+        level (eager per-op dispatch measured 10.8 s/call over the remote
+        TPU attachment)."""
+        if l not in self._reflux_jits:
+            opts = self.level_opts[l]
+            ng = self.ng
+            active = self.grid.active_axes
 
-        corr_int = interior(correction, self.ng)
-        if corr_int.shape[0] < U.shape[0]:
-            # flux register covers only the leading components (e.g. hydro
-            # without a radiation register): zero correction for the rest
-            pad = jnp.zeros(
-                (U.shape[0] - corr_int.shape[0], *corr_int.shape[1:]),
-                corr_int.dtype,
-            )
-            corr_int = jnp.concatenate([corr_int, pad], axis=0)
-        # apply only to uncovered coarse cells (covered ones get averaged down)
-        U = U + jnp.where(cmask[None], 0.0, corr_int)
-        self.level_U[l] = self._rad_fixup(U)
+            def reflux_fn(U, mask_fine, F_crse, F_fine_sum, dt_c):
+                from ..stencil import interior
+
+                cmask = ops.restrict_mask_any(mask_fine, active)
+                correction = None
+                for d, Fc in F_crse.items():
+                    # boundary faces: covered/uncovered status differs
+                    # across the face (mask in padded coords)
+                    m_p = jnp.pad(cmask, [(g, g) for g in ng])
+                    boundary = m_p != sh(m_p, -1, d)
+                    dF = jnp.where(boundary[None], F_fine_sum[d] - Fc, 0.0)
+                    contrib = (dF - sh(dF, 1, d + 1)) * (dt_c / opts.dx[d])
+                    correction = (contrib if correction is None
+                                  else correction + contrib)
+                corr_int = interior(correction, ng)
+                if corr_int.shape[0] < U.shape[0]:
+                    # flux register covers only the leading components
+                    pad = jnp.zeros(
+                        (U.shape[0] - corr_int.shape[0], *corr_int.shape[1:]),
+                        corr_int.dtype,
+                    )
+                    corr_int = jnp.concatenate([corr_int, pad], axis=0)
+                # apply only to uncovered coarse cells (covered ones get
+                # averaged down)
+                U = U + jnp.where(cmask[None], 0.0, corr_int)
+                return self._rad_fixup(U)
+
+            self._reflux_jits[l] = jax.jit(reflux_fn)
+        self.level_U[l] = self._reflux_jits[l](
+            self.level_U[l], self.level_mask[l + 1], F_crse, F_fine_sum,
+            jnp.asarray(dt_c, self.level_U[l].dtype),
+        )
 
     def _rad_fixup(self, U):
         """Radiation floor after reflux corrections (the radiation analog of
@@ -294,15 +311,24 @@ class AMRSimulation(Simulation):
         return U.at[rs:].set(R.reshape(G * 4, *U.shape[1:]))
 
     def _average_down(self, l: int):
-        """U_l := restriction of U_{l+1} where covered."""
-        cmask = ops.restrict_mask_any(self.level_mask[l + 1], self.grid.active_axes)
-        Uf_r = ops.restrict(self.level_U[l + 1], self.grid.active_axes)
-        self.level_U[l] = jnp.where(cmask[None], Uf_r, self.level_U[l])
-        # fixup after reflux/averaging (reference FixupState)
-        opts = self.level_opts[l]
-        self.level_U[l] = euler.enforce_limits(
-            self.level_U[l], opts.eos, opts.density_floor, opts.temperature_floor,
-            opts.n_scalars,
+        """U_l := restriction of U_{l+1} where covered (one jitted call)."""
+        if l not in self._avgdown_jits:
+            opts = self.level_opts[l]
+            active = self.grid.active_axes
+
+            def avgdown_fn(U, U_fine, mask_fine):
+                cmask = ops.restrict_mask_any(mask_fine, active)
+                Uf_r = ops.restrict(U_fine, active)
+                U = jnp.where(cmask[None], Uf_r, U)
+                # fixup after reflux/averaging (reference FixupState)
+                return euler.enforce_limits(
+                    U, opts.eos, opts.density_floor, opts.temperature_floor,
+                    opts.n_scalars,
+                )
+
+            self._avgdown_jits[l] = jax.jit(avgdown_fn)
+        self.level_U[l] = self._avgdown_jits[l](
+            self.level_U[l], self.level_U[l + 1], self.level_mask[l + 1]
         )
 
     # ---------------------------------------------------------------- gravity
@@ -468,34 +494,47 @@ class AMRSimulation(Simulation):
             return min(self.constant_dt, self.stop_time - self.t)
         # dt_0 = min over levels of 2^l * cfl * dx_l / smax_l  (reference
         # computeTimestep with default subcycling, src/simulation.hpp:722-818).
-        # All level reductions stay on device; ONE host sync at the end.
-        parts = []
+        # One jitted call per hierarchy depth; ONE host sync at the end.
+        finest = self.finest_level
         dt0 = np.inf
-        for l in range(self.finest_level + 1):
-            # subcycled: level l runs 2^l substeps per coarse step, so the
-            # coarse dt may be 2^l times the level-l CFL dt; global stepping
-            # (do_subcycle=0): every level advances with the same dt
-            fac = (2**l) if self.do_subcycle else 1
-            opts = self.level_opts[l]
-            sig = euler.max_signal_speed(self.level_U[l][: self.layout.nvar_hydro], opts.eos)
-            if l > 0:
-                sig = jnp.where(self.level_mask[l], sig, 0.0)
-            smax = jnp.max(sig)
-            parts.append(jnp.where(
-                smax > 0,
-                fac * self.cfl * self.level_grids[l].dx_min / smax,
-                jnp.inf,
-            ))
+        for l in range(finest + 1):
             if self.layout.radiation_enabled and self._radiation is not None:
                 # cap dt so the per-level radiation subcycle count stays
                 # within max_substeps, at the RADIATION cfl (reference
                 # computeNumberOfRadiationSubsteps)
+                fac = (2**l) if self.do_subcycle else 1
                 ropts = self._radiation.opts
                 dt_l = (ropts.max_substeps * ropts.cfl
                         * self.level_grids[l].dx_min / ropts.chat)
                 dt0 = min(dt0, fac * dt_l)
-        if parts:
-            dt0 = min(dt0, float(jnp.min(jnp.stack(parts))))
+        if finest not in self._dt_jits:
+            nh = self.layout.nvar_hydro
+            cfl = self.cfl
+            subcyc = self.do_subcycle
+
+            def dt_fn(Us, masks):
+                parts = []
+                for l in range(finest + 1):
+                    # subcycled: level l runs 2^l substeps per coarse step
+                    fac = (2**l) if subcyc else 1
+                    opts = self.level_opts[l]
+                    sig = euler.max_signal_speed(Us[l][:nh], opts.eos)
+                    if l > 0:
+                        sig = jnp.where(masks[l], sig, 0.0)
+                    smax = jnp.max(sig)
+                    parts.append(jnp.where(
+                        smax > 0,
+                        fac * cfl * self.level_grids[l].dx_min / smax,
+                        jnp.inf,
+                    ))
+                return jnp.min(jnp.stack(parts))
+
+            self._dt_jits[finest] = jax.jit(dt_fn)
+        dt_dev = self._dt_jits[finest](
+            tuple(self.level_U[: finest + 1]),
+            tuple(self.level_mask[: finest + 1]),
+        )
+        dt0 = min(dt0, float(dt_dev))
         dt0 = min(dt0, 1.1 * self.dt_prev, self.max_dt)
         if self.t == 0.0:
             dt0 = min(dt0, self.init_dt)
@@ -553,18 +592,22 @@ class AMRSimulation(Simulation):
         ):
             self._regrid_level(l)
 
+        from ..utils.profiler import prof
+
         U_old = self.level_U[l]
         step = self._get_level_step(l)
-        if l == 0:
-            U_new, fluxes, _stats = step(U_old, dt_l)
-        else:
-            theta1 = (t_level - self._parent_t) / self._parent_dt
-            theta2 = theta1 + dt_l / self._parent_dt
-            U_new, fluxes, _stats = step(
-                U_old, self.level_mask[l], self._parent_U_old, self._parent_U_new,
-                jnp.asarray(theta1, U_old.dtype), jnp.asarray(theta2, U_old.dtype),
-                dt_l,
-            )
+        with prof.region(f"hydro_L{l}"):
+            if l == 0:
+                U_new, fluxes, _stats = step(U_old, dt_l)
+            else:
+                theta1 = (t_level - self._parent_t) / self._parent_dt
+                theta2 = theta1 + dt_l / self._parent_dt
+                U_new, fluxes, _stats = step(
+                    U_old, self.level_mask[l], self._parent_U_old, self._parent_U_new,
+                    jnp.asarray(theta1, U_old.dtype), jnp.asarray(theta2, U_old.dtype),
+                    dt_l,
+                )
+            prof.sync(U_new)
         if "valid" in _stats and hasattr(self, "_substep_valid_flags"):
             self._substep_valid_flags.append(_stats["valid"])
 
@@ -573,13 +616,17 @@ class AMRSimulation(Simulation):
         if self.layout.radiation_enabled and self._radiation is not None:
             radL = self._get_level_rad(l)
             if l == 0:
-                U_new, rad_flux = radL.subcycle(U_new, t_level, dt_l)
+                with prof.region(f"rad_L{l}"):
+                    U_new, rad_flux = radL.subcycle(U_new, t_level, dt_l)
+                    prof.sync(U_new)
             else:
-                U_new, rad_flux = radL.subcycle(
-                    U_new, t_level, dt_l, mask=self.level_mask[l],
-                    Uc_old=self._parent_U_old, Uc_new=self._parent_U_new,
-                    theta_bounds=(theta1, theta2),
-                )
+                with prof.region(f"rad_L{l}"):
+                    U_new, rad_flux = radL.subcycle(
+                        U_new, t_level, dt_l, mask=self.level_mask[l],
+                        Uc_old=self._parent_U_old, Uc_new=self._parent_U_new,
+                        theta_bounds=(theta1, theta2),
+                    )
+                    prof.sync(U_new)
                 # inactive cells are defined to carry prolonged coarse data;
                 # re-impose it after the radiation advance as well
                 Uc_end = (1.0 - theta2) * self._parent_U_old + theta2 * self._parent_U_new
@@ -594,6 +641,30 @@ class AMRSimulation(Simulation):
                 d: jnp.concatenate([fluxes[d], rad_flux[d]], axis=0)
                 for d in fluxes
             }
+        if l > 0:
+            # one jitted pass: neutralize inactive-region fluxes (garbage-
+            # territory faces outside the level's mask must not reach the
+            # reflux, see ops.mask_face_flux) AND restrict to the parent's
+            # resolution for its flux register
+            if l not in self._publish_jits:
+                ng = self.ng
+                active = self.grid.active_axes
+
+                def publish_fn(fluxes, mask):
+                    masked = {
+                        d: ops.mask_face_flux(F, mask, d, ng)
+                        for d, F in fluxes.items()
+                    }
+                    restricted = {
+                        d: ops.restrict_face_flux(F, d, active, ng, ng)
+                        for d, F in masked.items()
+                    }
+                    return masked, restricted
+
+                self._publish_jits[l] = jax.jit(publish_fn)
+            fluxes, restricted_for_parent = self._publish_jits[l](
+                fluxes, self.level_mask[l]
+            )
         self.level_U[l] = U_new
         self.level_steps[l] += 1
         self.cell_updates += self.level_grids[l].num_cells
@@ -636,19 +707,19 @@ class AMRSimulation(Simulation):
              self._parent_t, self._parent_dt) = saved
 
             if self.do_reflux:
-                self._reflux(l, fluxes, fine_flux_sum, dt_l)
-            self._average_down(l)
+                with prof.region(f"reflux_L{l}"):
+                    self._reflux(l, fluxes, fine_flux_sum, dt_l)
+                    prof.sync(self.level_U[l])
+            with prof.region(f"avgdown_L{l}"):
+                self._average_down(l)
+                prof.sync(self.level_U[l])
 
         if l > 0:
-            # publish to the parent's flux register at the PARENT's
-            # resolution (restriction is linear, so restrict-then-average
-            # over fine substeps equals average-then-restrict)
-            self._last_restricted_fluxes = {
-                d: ops.restrict_face_flux(
-                    F, d, self.grid.active_axes, self.ng, self.ng
-                )
-                for d, F in fluxes.items()
-            }
+            # publish to the parent AFTER the child recursion (which
+            # overwrites _last_restricted_fluxes with its own): restriction
+            # is linear, so restrict-then-average over fine substeps equals
+            # average-then-restrict
+            self._last_restricted_fluxes = restricted_for_parent
 
     # ------------------------------------------------------------ diagnostics
     def _composite_sums(self):

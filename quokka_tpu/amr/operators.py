@@ -142,6 +142,24 @@ def dilate(mask: jnp.ndarray, n: int, active_axes: Sequence[int],
     return out
 
 
+def mask_face_flux(F: jnp.ndarray, mask: jnp.ndarray, axis: int,
+                   ng: Sequence[int]) -> jnp.ndarray:
+    """Zero a level's face fluxes on faces NOT adjacent to any active
+    (mask=True) cell. The dense-mask design's inactive region may evolve
+    unphysically within a substep (its STATE is re-imposed from prolonged
+    coarse data afterwards, so that is harmless by contract) -- but its
+    fluxes would otherwise leak into the parent's flux register through
+    `restrict_face_flux`'s transverse averaging. Masks are coarse-aligned
+    (children come in 2^d blocks), so every coarse-fine BOUNDARY face's
+    underlying fine faces have exactly one active neighbor and keep their
+    values; interior-garbage faces contribute nothing (the reflux ignores
+    non-boundary faces anyway). F: [nc, padded spatial]; mask: interior."""
+    m_p = jnp.pad(mask, [(g, g) for g in ng])
+    # face i sits between cells i-1 and i (padded coords)
+    ok = jnp.logical_or(m_p, sh(m_p, -1, axis))
+    return jnp.where(ok[None], F, 0.0)
+
+
 def restrict_face_flux(F: jnp.ndarray, axis: int, active_axes: Sequence[int],
                        ng_f: Sequence[int], ng_c: Sequence[int]) -> jnp.ndarray:
     """Restrict a fine-level face-flux array (padded face coords) to coarse

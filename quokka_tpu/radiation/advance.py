@@ -377,8 +377,12 @@ class LevelRadiation:
         base = sim._radiation.opts if getattr(sim, "_radiation", None) else None
         if base is None:
             raise RuntimeError("LevelRadiation requires the base RadiationAdvance")
-        # flux-dict (XLA) formulation: refluxing needs the face fluxes
-        self.opts = dataclasses.replace(base, use_pallas=False)
+        # flux-dict formulation (refluxing needs the face fluxes); the
+        # Pallas transport kernel EMITS the flux dict, so the level path
+        # rides it too (`compute_rad_fluxes` dispatches on use_pallas --
+        # the per-level radiation was 63% of the AMR radhydro step with
+        # the XLA formulation on v5e)
+        self.opts = base
         self.rad_start = sim.layout.rad_start
         self._build()
 
@@ -419,10 +423,39 @@ class LevelRadiation:
                     U, rad_src, dt, stage, opts, eos, problem, rad_start,
                     boundaries, kB,
                 )
+            if opts.use_pallas and U.dtype == jnp.float32:
+                from .pallas_source import source_update_pallas
+
+                return source_update_pallas(
+                    U, rad_src, dt, stage, opts, eos,
+                    kappa_p, kappa_e, kappa_f, rad_start,
+                )
             return add_source_terms_single_group(
                 U, rad_src, dt, stage, opts, eos, kappa_p, kappa_e, kappa_f,
                 rad_start,
             )
+
+        # transport only reads the radiation block: when no user BC hook
+        # needs the full state, the level fills (and the prolongation of
+        # the parent data, for fine levels) touch ONLY the 4G radiation
+        # components -- a ~nvar/4G traffic cut on the fills, same trick as
+        # the unigrid path
+        from ..registry import BC_USER
+
+        has_user_bc = any(BC_USER in problem.bcs.axis(d) for d in range(3))
+
+        class _RadSliceLayoutL:
+            nvar = 4 * G
+            hydro_enabled = False
+            radiation_enabled = True
+            n_groups = G
+
+            @staticmethod
+            def rad_index(g, comp):
+                return 4 * g + comp
+
+        layout_r = _RadSliceLayoutL()
+        rad_start_eff = rad_start if has_user_bc else 0
 
         def substep_core(U, fill, time, dt):
             dt = jnp.asarray(dt, U.dtype)
@@ -434,7 +467,7 @@ class LevelRadiation:
                 rad_src = jnp.broadcast_to(rad_src[None], (G, *rad_src.shape)) / G
 
             Ug0 = fill(U)
-            fluxes0 = compute_rad_fluxes(Ug0, rad_start, opts, active, dx)
+            fluxes0 = compute_rad_fluxes(Ug0, rad_start_eff, opts, active, dx)
             divF0 = interior(rad_div_fluxes(fluxes0, dx), ng)
             R0 = rad_part(U)
             R1 = predict_step(R0, divF0, dt, opts)
@@ -442,7 +475,7 @@ class LevelRadiation:
             U1, _ = source_update(U1, rad_src, dt, 1)
 
             Ug1 = fill(U1)
-            fluxes1 = compute_rad_fluxes(Ug1, rad_start, opts, active, dx)
+            fluxes1 = compute_rad_fluxes(Ug1, rad_start_eff, opts, active, dx)
             divF1 = interior(rad_div_fluxes(fluxes1, dx), ng)
             R_new = add_fluxes_rk2(R0, rad_part(U1), divF0, divF1, dt, opts)
             U2 = with_rad(U1, R_new)
@@ -459,10 +492,17 @@ class LevelRadiation:
             return U2, eff
 
         if self.level == 0:
-            def fill0(U):
-                return fill_ghosts(
-                    U, ng, problem.bcs, layout, problem=problem, grid=grid
-                )
+            if has_user_bc:
+                def fill0(U):
+                    return fill_ghosts(
+                        U, ng, problem.bcs, layout, problem=problem, grid=grid
+                    )
+            else:
+                def fill0(U):
+                    return fill_ghosts(
+                        U[rad_start:], ng, problem.bcs, layout_r,
+                        problem=None, grid=grid,
+                    )
 
             def substep0(U, time, dt):
                 return substep_core(U, fill0, time, dt)
@@ -472,13 +512,24 @@ class LevelRadiation:
             def substepf(U, time, dt, mask, Uc_old, Uc_new, th_a, th_b):
                 def make_fill(theta):
                     def fillf(Uf):
-                        Uc = (1.0 - theta) * Uc_old + theta * Uc_new
+                        if has_user_bc:
+                            Uc = (1.0 - theta) * Uc_old + theta * Uc_new
+                            base = jnp.where(
+                                mask[None], Uf, amr_ops.prolong(Uc, active)
+                            )
+                            return fill_ghosts(
+                                base, ng, problem.bcs, layout,
+                                problem=problem, grid=grid,
+                            )
+                        Uc_r = ((1.0 - theta) * Uc_old[rad_start:]
+                                + theta * Uc_new[rad_start:])
                         base = jnp.where(
-                            mask[None], Uf, amr_ops.prolong(Uc, active)
+                            mask[None], Uf[rad_start:],
+                            amr_ops.prolong(Uc_r, active),
                         )
                         return fill_ghosts(
-                            base, ng, problem.bcs, layout,
-                            problem=problem, grid=grid,
+                            base, ng, problem.bcs, layout_r,
+                            problem=None, grid=grid,
                         )
                     return fillf
 

@@ -16,7 +16,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..hydro import reconstruct
-from ..hydro.pallas_sweep import _block_spec_4d
+from ..hydro.pallas_sweep import _block_spec_4d, _interpret_mode
 from ..stencil import sh
 
 
@@ -59,6 +59,7 @@ def compute_rad_axis_flux_pallas(prim_flat, cons_flat, axis, opts, G,
         ],
         out_specs=pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+        interpret=_interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
@@ -117,6 +118,7 @@ def compute_rad_div_pallas(cons_flat, axis, opts, G, dx_axis,
         in_specs=[pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+        interpret=_interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),

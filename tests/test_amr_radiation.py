@@ -159,3 +159,53 @@ verbose = 0
         denom = np.max(np.abs(Ur[comp]))
         err = np.max(np.abs(Uc[comp] - Ur[comp])) / denom
         assert err < 0.05, (comp, err)
+
+
+def test_amr_level_radiation_pallas_matches_xla():
+    """AMR per-level radiation rides the Pallas transport kernels (they
+    emit the flux dict the reflux register needs); 3D pulse with
+    radiation.use_pallas on/off must agree to f32 roundoff on every
+    level (kernels run interpreted off-TPU)."""
+
+    class RadPulse3D(_RadhydroAMRBase):
+        name = "RadAMR_Pulse3D_PallasParity"
+
+        def set_initial_conditions(self, grid):
+            x, y, z = grid.cell_center_mesh()
+            shape = grid.n_cell
+            layout = self.physics.layout()
+            eos = self.make_eos()
+            r2 = (x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2
+            T = T0 * (1.0 + 0.5 * jnp.exp(-r2 / 0.01))
+            T = jnp.broadcast_to(T, shape)
+            eint = eos.eint_from_tgas(1.0, T)
+            U = jnp.zeros((layout.nvar, *shape))
+            U = U.at[RHO].set(1.0)
+            U = U.at[EGAS].set(eint)
+            U = U.at[EINT].set(eint)
+            U = U.at[layout.rad_index(0, 0)].set(A_RAD * T**4)
+            return U
+
+    def run(pallas):
+        lines = [
+            "geometry.prob_hi = 1.0 1.0 1.0",
+            "amr.n_cell = 16 16 16",
+            "amr.max_level = 1",
+            "cfl = 0.3",
+            "radiation.cfl = 0.3",
+            "max_timesteps = 3",
+            f"radiation.use_pallas = {pallas}",
+            "verbose = 0",
+        ]
+        sim = AMRSimulation(RadPulse3D(),
+                            ParmParse.from_string("\n".join(lines)))
+        sim.set_initial_conditions()
+        sim.evolve()
+        return [np.asarray(u) for u in sim.level_U[: sim.finest_level + 1]]
+
+    U_p = run(1)
+    U_x = run(0)
+    assert len(U_p) == len(U_x)
+    for a, b in zip(U_p, U_x):
+        scale = np.max(np.abs(b))
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, rtol=2e-5)
