@@ -182,6 +182,37 @@ def run_amr_shell(n, max_level, steps):
     return (sim.cell_updates - n0) / elapsed / 1e6, sim.finest_level
 
 
+def run_mhd(n, steps):
+    """Ideal-MHD FOM: Orszag-Tang (z-invariant 3D box), PLM + HLLD +
+    constrained transport. No reference baseline exists -- upstream's MHD
+    is a stub with no induction update (src/hydro/mhd_system.hpp:20) --
+    so the number is reported raw."""
+    import time as _t
+
+    from quokka_tpu import ParmParse
+    from quokka_tpu.mhd.simulation import MHDSimulation
+    from quokka_tpu.problems.mhd import OrszagTangProblem
+
+    pp = ParmParse.from_string(
+        f"""
+        geometry.prob_hi = 1.0 1.0 1.0
+        amr.n_cell = {n} {n} {n}
+        cfl = 0.3
+        max_timesteps = 2
+        stop_time = 1.0e10
+        verbose = 0
+        """
+    )
+    sim = MHDSimulation(OrszagTangProblem(), pp, precision="single")
+    sim.set_initial_conditions()
+    sim.evolve()  # warm: compile
+    n0 = sim.cell_updates
+    sim.max_timesteps = 2 + steps
+    t0 = _t.perf_counter()
+    sim.evolve()
+    return (sim.cell_updates - n0) / (_t.perf_counter() - t0) / 1e6
+
+
 def main():
     if MODE == "amr":
         mz, finest = run_amr_shell(
@@ -256,6 +287,14 @@ def main():
             result["f64_size"] = F64_N
         except Exception as e:
             result["hydro_f64_error"] = str(e)[:200]
+
+    if os.environ.get("QUOKKA_BENCH_MHD", "1") == "1":
+        try:
+            mhd = run_mhd(int(os.environ.get("QUOKKA_BENCH_MHD_N", "256")),
+                          STEPS)
+            result["mhd_ct_mzones"] = round(mhd, 3)
+        except Exception as e:
+            result["mhd_error"] = str(e)[:200]
 
     if os.environ.get("QUOKKA_BENCH_AMR", "1") == "1":
         try:
