@@ -222,6 +222,21 @@ def _compute_axis_flux(
     return Fout, facevel
 
 
+import os as _os
+
+# VMEM ceilings for the Pallas sweep kernels (whole sweep axis lives
+# in-block, so the kernel body's live set scales with the longest spatial
+# extent). Measured on v5e (128M VMEM): classic flux kernels fit at a
+# 264-long padded sweep (115.6M) and the ghost-free fused divergence
+# kernels at 256 (126M); 384 needs 179M. Above the ceiling the XLA
+# formulation takes over instead of hard-failing the compile.
+_PALLAS_MAX_DIM = int(_os.environ.get("QUOKKA_PALLAS_MAX_DIM", "272"))
+
+
+def _pallas_fits(Ug: jnp.ndarray) -> bool:
+    return max(Ug.shape[1:]) <= _PALLAS_MAX_DIM
+
+
 def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False,
                    bc_kinds: dict | None = None):
     """All-axis flux computation from a ghost-padded conserved state.
@@ -236,14 +251,15 @@ def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = Fals
     return is (fluxes, facevels, flux_hi, vel_hi)."""
     # Pallas custom calls cannot carry f64 operands on TPU (the XLA
     # double-double rewriter does not see inside them): f32 only
-    if opts.use_pallas and len(opts.active_axes) == 3 and Ug.dtype == jnp.float32:
+    if (opts.use_pallas and len(opts.active_axes) == 3
+            and Ug.dtype == jnp.float32 and _pallas_fits(Ug)):
         from .pallas_sweep import compute_fluxes_pallas
 
         return compute_fluxes_pallas(Ug, opts, first_order, bc_kinds)
     if bc_kinds is not None:
         raise ValueError(
             "ghost-free stepping (bc_kinds) requires the Pallas sweep path "
-            "(f32, 3D, hydro.use_pallas=1)"
+            f"(f32, 3D, hydro.use_pallas=1, max extent <= {_PALLAS_MAX_DIM})"
         )
 
     prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
@@ -792,9 +808,15 @@ def advance_hydro_rk2(
     fits_vmem = (
         max(U.shape[1:]) + 2 * opts.nghost <= _fused_reflux_max
     )
+    # overall Pallas VMEM ceiling: ghost-free arrays stay unpadded, padded
+    # paths grow by 2*nghost before the sweep kernels see them
+    pallas_ok = max(U.shape[1:]) + (
+        0 if bc_kinds is not None else 2 * opts.nghost
+    ) <= _PALLAS_MAX_DIM
     if (
         opts.use_pallas
         and opts.fuse_update
+        and pallas_ok
         and len(opts.active_axes) == 3
         and U.dtype == jnp.float32
         and (not return_fluxes

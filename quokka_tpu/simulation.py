@@ -207,11 +207,19 @@ class Simulation:
         from .registry import BC_OUTFLOW, BC_PERIODIC, BC_REFLECT
 
         opts = self.hydro_opts
+        from .hydro.advance import _PALLAS_MAX_DIM
+
+        # per-shard interior extents are what the sweep kernels see
+        tiles0 = self.decomp.tiles if self.decomp is not None else (1, 1, 1)
+        local_max = max(
+            n // t for n, t in zip(self.grid.n_cell, tiles0)
+        )
         if (
             self.dtype != jnp.float32
             or not opts.use_pallas
             or len(opts.active_axes) != 3
             or int(self.pp.get_int("hydro.ghost_free", 1)) == 0
+            or local_max > _PALLAS_MAX_DIM  # VMEM ceiling: XLA path instead
         ):
             return None
         allowed = (BC_PERIODIC, BC_REFLECT, BC_OUTFLOW)
