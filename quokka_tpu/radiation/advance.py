@@ -64,6 +64,9 @@ class RadiationAdvance:
             opacity_model=_check_opacity_model(
                 pp.get_str("radiation.opacity_model", "piecewise_constant")
             ),
+            mixed_precision_coupling=bool(
+                pp.get_int("radiation.mixed_precision_coupling", 0)
+            ),
             use_pallas=bool(
                 pp.get_int(
                     "radiation.use_pallas",
@@ -227,7 +230,8 @@ class RadiationAdvance:
                     U, rad_src, dt, stage, opts, eos, problem, rad_start,
                     boundaries, kB,
                 )
-            if opts.use_pallas and U.dtype == jnp.float32:
+            if (opts.use_pallas and U.dtype == jnp.float32
+                    and not opts.mixed_precision_coupling):
                 from .pallas_source import source_update_pallas
 
                 return source_update_pallas(

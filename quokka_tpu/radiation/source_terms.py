@@ -28,6 +28,7 @@ dust/photoelectric branches live in `radiation/dust.py` when built).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -62,7 +63,22 @@ def add_source_terms_single_group(
     kappa_p/e/f: callables (rho, T) -> opacity [cm^2/g] (problem hooks,
     reference `ComputePlanckOpacity` etc. specializations).
     rad_src: radiation energy source field (user hook; 0 by default).
+
+    With opts.mixed_precision_coupling and an f32 state, the whole solve
+    is promoted to f64 (TPU: double-double emulation; the coupling is
+    pointwise, so this costs far less than an all-f64 step) and the
+    result cast back -- f32 state, f64 residuals/Jacobian.
     """
+    if opts.mixed_precision_coupling and U.dtype == jnp.float32:
+        out64, stats = add_source_terms_single_group(
+            U.astype(jnp.float64), rad_src.astype(jnp.float64),
+            dt_radiation, stage,
+            dataclasses.replace(opts, mixed_precision_coupling=False),
+            eos, kappa_p, kappa_e, kappa_f, rad_start,
+            unroll_iters=unroll_iters,
+        )
+        return out64.astype(jnp.float32), stats
+
     c = opts.c
     chat = opts.chat
     cscale = c / chat

@@ -46,6 +46,13 @@ class RadOptions:
     include_work_term: bool = True
     n_groups: int = 1
     use_pallas: bool = False  # fused Pallas transport sweep (TPU hot path)
+    # mixed precision (radiation.mixed_precision_coupling = 1): the
+    # implicit Newton matter coupling runs in f64 (TPU: XLA double-double
+    # emulation, pointwise so the cost is small vs transport) while the
+    # state and transport stay f32 -- the validation-accuracy middle
+    # ground between the all-f32 production path and the ~19x-slower
+    # all-f64 run
+    mixed_precision_coupling: bool = False
     # multigroup opacity model (reference OpacityModel enum,
     # radiation_system.hpp:63-68): piecewise_constant | ppl_fixed_slope |
     # ppl_full_spectrum
