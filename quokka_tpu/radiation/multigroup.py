@@ -111,7 +111,21 @@ def add_source_terms_multi_group(
     boundaries, boltzmann_constant,
 ):
     """Multigroup analog of `add_source_terms_single_group`. `rad_src` is
-    [G, nx, ny, nz]; `boundaries` a (G+1)-tuple of group edges."""
+    [G, nx, ny, nz]; `boundaries` a (G+1)-tuple of group edges.
+
+    opts.mixed_precision_coupling promotes the solve to f64 around an f32
+    state, exactly like the single-group path."""
+    if opts.mixed_precision_coupling and U.dtype == jnp.float32:
+        import dataclasses
+
+        out64, stats = add_source_terms_multi_group(
+            U.astype(jnp.float64), rad_src.astype(jnp.float64),
+            dt_radiation, stage,
+            dataclasses.replace(opts, mixed_precision_coupling=False),
+            eos, problem, rad_start, boundaries, boltzmann_constant,
+        )
+        return out64.astype(jnp.float32), stats
+
     G = opts.n_groups
     c, chat = opts.c, opts.chat
     cscale = c / chat

@@ -96,3 +96,39 @@ def test_multigroup_coupling_matches_gray():
     assert np.all(Erads > 0)
     Trad = (Erads.sum() / A_RAD_CGS) ** 0.25
     assert abs(Trad - Tgas) / Tgas < 0.05  # near equilibrium by 3 e-foldings
+
+
+def test_multigroup_mixed_precision_coupling():
+    """radiation.mixed_precision_coupling with a 4-group f32 state: the
+    promoted-f64 group-resolved Newton must land within 1e-4 of the gray
+    exact solution, matching the f64 run's accuracy class from an f32
+    production state."""
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_hi = 1e5 1e5 1e5
+        amr.n_cell = 4 1 1
+        constant_dt = 1.0e-8
+        stop_time = 1.0e-2
+        radiation.mixed_precision_coupling = 1
+        verbose = 0
+        """
+    )
+    prob = MultigroupCoupling()
+    sim = Simulation(prob, pp, precision="single")
+    sim.set_initial_conditions()
+    eos = sim.eos
+    rad = sim._radiation
+
+    dt = 1.0e-8
+    n = 10000
+    U = sim.U
+    for i in range(n // 500):
+        U = rad.run_steps(U, i * 500 * dt, dt, 500)
+    t = n * dt
+    Egas = float(U[EGAS][0, 0, 0])
+    Tgas = float(eos.tgas_from_eint(np.nan, Egas))
+    Texact = float(prob.exact_Tgas(np.array([t]))[0])
+    rel = abs(Tgas - Texact) / Texact
+    print(f"MG mixed f32-state Tgas rel err = {rel:.2e}")
+    assert rel < 1e-4
+    assert np.all(np.isfinite(np.asarray(U)))
