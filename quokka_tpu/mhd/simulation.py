@@ -74,9 +74,18 @@ def faces_from_vector_potential(grid: Grid, A_fns, dtype=jnp.float64):
 
 
 class MHDSimulation:
-    """Evolve an ideal-MHD problem on a fully periodic uniform grid."""
+    """Evolve an ideal-MHD problem on a fully periodic uniform grid.
 
-    def __init__(self, problem, pp: ParmParse, precision: str = "double"):
+    Multi-chip: pass ``decomp`` (a `parallel.decomp.Decomposition`) to
+    block-shard the state over the device mesh. The CT solver is written
+    entirely in periodic rolls, so GSPMD shards it automatically -- XLA
+    lowers each roll across a sharded axis to a collective permute of the
+    boundary slabs (the halo exchange), with no shard_map or explicit
+    halo code. Sharded == single-device to roundoff
+    (tests/test_mhd.py::test_mhd_sharded_matches_single)."""
+
+    def __init__(self, problem, pp: ParmParse, precision: str = "double",
+                 decomp=None):
         self.problem = problem
         self.pp = pp
         self.dtype = jnp.float64 if precision == "double" else jnp.float32
@@ -102,6 +111,15 @@ class MHDSimulation:
             pressure_floor=pp.get_float("pressure_floor", 0.0),
         )
 
+        self.decomp = decomp
+        if decomp is not None:
+            for d in range(3):
+                if self.grid.n_cell[d] % decomp.tiles[d] != 0:
+                    raise ValueError(
+                        f"n_cell {self.grid.n_cell} not divisible by "
+                        f"decomposition tiles {decomp.tiles}"
+                    )
+
         self.U: Optional[jnp.ndarray] = None
         self.Bf: Optional[List[jnp.ndarray]] = None
         self.t = 0.0
@@ -122,6 +140,12 @@ class MHDSimulation:
         U, Bf = self.problem.set_initial_conditions_mhd(self.grid)
         self.U = jnp.asarray(U, dtype=self.dtype)
         self.Bf = [jnp.asarray(b, dtype=self.dtype) for b in Bf]
+        if self.decomp is not None:
+            self.U = jax.device_put(self.U, self.decomp.state_sharding())
+            self.Bf = [
+                jax.device_put(b, self.decomp.mask_sharding())
+                for b in self.Bf
+            ]
         if self.U.shape != (5, *self.grid.n_cell):
             raise ValueError(
                 f"MHD IC shape {self.U.shape} != (5, {self.grid.n_cell})"

@@ -128,3 +128,44 @@ def test_vector_potential_init_divergence_free():
     Bf = faces_from_vector_potential(g, (A_x, A_y, A_z))
     opts = MHDOptions(gamma=5.0 / 3.0, dx=g.dx, active_axes=(0, 1, 2))
     assert float(jnp.max(jnp.abs(div_b(Bf, opts)))) < 1e-11
+
+
+def test_mhd_sharded_matches_single():
+    """Multi-chip CT MHD: the solver is all periodic rolls, so GSPMD
+    shards it with automatic collective-permute halo exchanges. A
+    block-sharded Orszag-Tang run on the 8-device mesh must match the
+    single-device run to roundoff, with div B still at machine zero."""
+    import jax
+
+    from quokka_tpu.parallel.decomp import make_decomposition
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device CPU mesh")
+
+    def run(decomp):
+        pp = ParmParse.from_string(
+            """
+            geometry.prob_lo = 0. 0. 0.
+            geometry.prob_hi = 1. 1. 1.
+            amr.n_cell = 32 32 1
+            cfl = 0.3
+            stop_time = 0.05
+            max_timesteps = 5
+            verbose = 0
+            """
+        )
+        sim = MHDSimulation(OrszagTangProblem(), pp, decomp=decomp)
+        sim.set_initial_conditions()
+        sim.evolve()
+        return (np.asarray(sim.U), [np.asarray(b) for b in sim.Bf],
+                sim.final_divb)
+
+    U1, Bf1, db1 = run(None)
+    decomp = make_decomposition((32, 32, 1), tiles=(4, 2, 1))
+    U8, Bf8, db8 = run(decomp)
+
+    np.testing.assert_allclose(U8, U1, rtol=1e-12, atol=1e-13)
+    for b8, b1 in zip(Bf8, Bf1):
+        np.testing.assert_allclose(b8, b1, rtol=1e-12, atol=1e-13)
+    assert db8 < 1e-11
