@@ -143,6 +143,73 @@ def test_restart_sharded_per_shard_files(tmp_path):
     )
 
 
+def test_restart_rebalance_across_decompositions(tmp_path):
+    """Load balancing at restart (reference re-chunks the level-0 BoxArray
+    for the CURRENT rank count when restoring, ``src/simulation.hpp:
+    2738-2753``): a checkpoint written under one device decomposition must
+    restore re-chunked onto a DIFFERENT mesh shape -- (4,2,1) -> (2,2,2),
+    (4,2,1) -> single device, and single device -> (4,2,1) -- and continue
+    bitwise-equal to the uninterrupted run.  In the block-sharded dense
+    design every device owns an equal contiguous block at every level, so
+    per-regrid rebalancing is an invariant rather than an operation; the
+    dynamic piece is exactly this restart re-chunk."""
+    from quokka_tpu.parallel.decomp import make_decomposition
+    from quokka_tpu.problems.sedov import SedovProblem
+
+    cfg = """
+    amr.n_cell = 32 32 32
+    geometry.prob_lo = 0. 0. 0.
+    geometry.prob_hi = 1.2 1.2 1.2
+    cfl = 0.3
+    stop_time = 1.0
+    verbose = 0
+    """
+
+    def run(extra, d, tiles):
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            pp = ParmParse.from_string(cfg + extra)
+            decomp = (make_decomposition((32, 32, 32), tiles=tiles)
+                      if tiles else None)
+            sim = Simulation(SedovProblem(), pp, decomp=decomp)
+            sim.set_initial_conditions()
+            sim.evolve()
+            return sim
+        finally:
+            os.chdir(cwd)
+
+    (tmp_path / "full").mkdir()
+    sim_full = run("max_timesteps = 6\n", tmp_path / "full", (4, 2, 1))
+    U_full = np.asarray(sim_full.U)
+
+    part = tmp_path / "part"
+    part.mkdir()
+    run("max_timesteps = 3\ncheckpoint_interval = 3\n", part, (4, 2, 1))
+    chk = part / "last_chk"
+
+    # 8-device (4,2,1)-sharded checkpoint -> (2,2,2) mesh
+    sim_r = run(f"max_timesteps = 6\nrestartfile = {chk}\n", part, (2, 2, 2))
+    assert sim_r.U.sharding.is_equivalent_to(
+        sim_r.decomp.state_sharding(), sim_r.U.ndim
+    )
+    np.testing.assert_array_equal(np.asarray(sim_r.U), U_full)
+
+    # -> single device (decomposition removed entirely)
+    sim_r1 = run(f"max_timesteps = 6\nrestartfile = {chk}\n", part, None)
+    np.testing.assert_array_equal(np.asarray(sim_r1.U), U_full)
+
+    # single-device (global-file) checkpoint -> 8-device mesh
+    part2 = tmp_path / "part2"
+    part2.mkdir()
+    run("max_timesteps = 3\ncheckpoint_interval = 3\n", part2, None)
+    sim_r8 = run(
+        f"max_timesteps = 6\nrestartfile = {part2 / 'last_chk'}\n",
+        part2, (4, 2, 1),
+    )
+    np.testing.assert_array_equal(np.asarray(sim_r8.U), U_full)
+
+
 def test_restart_walltime_interrupt(tmp_path):
     """max_walltime-triggered graceful stop writes a restartable checkpoint
     (the reference's actual interrupt mechanism in the CI script)."""
