@@ -158,14 +158,92 @@ def write_checkpoint(sim, prefix: str = "chk", directory: str = "."):
     # host-transfer of subsequent arrays)
     native.drain()
 
-    # atomically update the last_chk symlink (reference src/simulation.hpp:2548-2562)
+    _update_last_chk(directory, name)
+    return path
+
+
+def _update_last_chk(directory: str, name: str):
+    """Atomically update the `last_chk` symlink (reference
+    ``src/simulation.hpp:2548-2562``)."""
     link = os.path.join(directory, "last_chk")
     tmp = link + ".tmp"
     if os.path.lexists(tmp):
         os.remove(tmp)
     os.symlink(name, tmp)
     os.replace(tmp, link)
+
+
+_MHD_FACE_NAMES = ("Face_x", "Face_y", "Face_z")
+
+
+def write_checkpoint_mhd(sim, prefix: str = "chk", directory: str = "."):
+    """Checkpoint an `MHDSimulation`: cell state + the three staggered
+    face-B arrays (the reference's face-centered `Level_*/Face_{x,y,z}`
+    VisMF files, ``src/simulation.hpp:2564-2675``). Per-shard files under
+    a device decomposition, like the cell-centered path."""
+    name = f"{prefix}{sim.istep:07d}"
+    path = os.path.join(directory, name)
+    os.makedirs(os.path.join(path, "Level_0"), exist_ok=True)
+
+    header = {
+        "checkpoint_version": "quokka_tpu-1.0",
+        "solver": "mhd-ct",
+        "istep": sim.istep,
+        "time": sim.t,
+        "cell_updates": int(sim.cell_updates),
+        "n_cell": list(sim.grid.n_cell),
+        "prob_lo": list(sim.grid.prob_lo),
+        "prob_hi": list(sim.grid.prob_hi),
+        "dtype": str(np.dtype(sim.U.dtype)),
+        "init_sums": [float(x) for x in sim.init_sums],
+        "init_divb": float(sim.init_divb),
+    }
+    with open(os.path.join(path, "Header"), "w") as f:
+        json.dump(header, f, indent=1)
+
+    sharded = sim.decomp is not None and bool(
+        sim.pp.get_int("checkpoint.sharded", 1)
+    )
+    _save_state(os.path.join(path, "Level_0", "state"), sim.U, sharded)
+    for d, nm in enumerate(_MHD_FACE_NAMES):
+        _save_state(os.path.join(path, "Level_0", nm), sim.Bf[d], sharded)
+
+    _update_last_chk(directory, name)
     return path
+
+
+def read_checkpoint_mhd(sim, path: str):
+    """Restore an `MHDSimulation` from `write_checkpoint_mhd` output,
+    re-chunked onto the current decomposition (or none)."""
+    import jax
+
+    with open(os.path.join(path, "Header")) as f:
+        header = json.load(f)
+    if header.get("solver") != "mhd-ct":
+        raise ValueError(f"{path} is not an MHD checkpoint")
+    if tuple(header["n_cell"]) != tuple(sim.grid.n_cell):
+        raise ValueError(
+            f"checkpoint grid {header['n_cell']} != simulation grid "
+            f"{sim.grid.n_cell}"
+        )
+    native.drain()
+    sim.U = jnp.asarray(
+        _load_state(os.path.join(path, "Level_0", "state")), dtype=sim.dtype
+    )
+    sim.Bf = [
+        jnp.asarray(_load_state(os.path.join(path, "Level_0", nm)),
+                    dtype=sim.dtype)
+        for nm in _MHD_FACE_NAMES
+    ]
+    if sim.decomp is not None:
+        sim.U = jax.device_put(sim.U, sim.decomp.state_sharding())
+        sim.Bf = [jax.device_put(b, sim.decomp.mask_sharding())
+                  for b in sim.Bf]
+    sim.t = float(header["time"])
+    sim.istep = int(header["istep"])
+    sim.cell_updates = int(header["cell_updates"])
+    sim.init_sums = np.asarray(header["init_sums"])
+    sim.init_divb = float(header["init_divb"])
 
 
 def read_checkpoint(sim, path: str):

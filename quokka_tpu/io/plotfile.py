@@ -104,6 +104,48 @@ def write_plotfile(sim, prefix: str = "plt", directory: str = "."):
     return path
 
 
+def write_plotfile_mhd(sim, prefix: str = "plt", directory: str = "."):
+    """Plotfile for the CT MHD driver: gas components plus the staggered
+    face B averaged to cell centers (the reference's `AverageFCToCC`
+    plotfile path, ``src/simulation.hpp:2031-2118``) and the face fields
+    themselves."""
+    import jax.numpy as jnp
+
+    from ..mhd.advance import b_cell_from_faces
+
+    name = f"{prefix}{sim.istep:07d}"
+    path = os.path.join(directory, name)
+    os.makedirs(os.path.join(path, "Level_0"), exist_ok=True)
+
+    gas_names = ["gasDensity", "x-GasMomentum", "y-GasMomentum",
+                 "z-GasMomentum", "gasEnergy"]
+    U = np.asarray(sim.U)
+    arrays = {n: U[i] for i, n in enumerate(gas_names)}
+    B_cc = np.asarray(b_cell_from_faces([jnp.asarray(b) for b in sim.Bf]))
+    for d, ax in enumerate("xyz"):
+        arrays[f"{ax}-BField-cc"] = B_cc[d]
+        arrays[f"{ax}-BField-face"] = np.asarray(sim.Bf[d])
+    _write_level(os.path.join(path, "Level_0"), arrays)
+
+    header = {
+        "plotfile_version": "quokka_tpu-1.0",
+        "solver": "mhd-ct",
+        "ncomp": len(arrays),
+        "components": list(arrays),
+        "time": sim.t,
+        "istep": sim.istep,
+        "finest_level": 0,
+        "n_cell": list(sim.grid.n_cell),
+        "prob_lo": list(sim.grid.prob_lo),
+        "prob_hi": list(sim.grid.prob_hi),
+    }
+    with open(os.path.join(path, "Header"), "w") as f:
+        json.dump(header, f, indent=1)
+    _write_yaml(os.path.join(path, "metadata.yaml"),
+                getattr(sim, "metadata", {}))
+    return path
+
+
 def read_plotfile(path: str, level: int = 0):
     """Read a plotfile directory back: (header dict, {name: array}).
 

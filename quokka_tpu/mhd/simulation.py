@@ -101,6 +101,10 @@ class MHDSimulation:
         self.stop_time = pp.get_float("stop_time", 1.0)
         self.max_timesteps = pp.get_int("max_timesteps", 10**8)
         self.verbose = pp.get_int("verbose", 1)
+        self.checkpoint_interval = pp.get_int("checkpoint_interval", -1)
+        self.plotfile_interval = pp.get_int("plotfile_interval", -1)
+        self.restartfile = pp.get_str("restartfile", "")
+        self.metadata = {}
 
         self.opts = MHDOptions(
             gamma=problem.gamma,
@@ -137,6 +141,16 @@ class MHDSimulation:
 
     # ---------------------------------------------------------------- setup
     def set_initial_conditions(self):
+        if self.restartfile:
+            import os
+
+            from ..io.checkpoint import read_checkpoint_mhd
+
+            path = os.path.realpath(self.restartfile)
+            read_checkpoint_mhd(self, path)
+            if self.verbose:
+                print(f"Restarted MHD from {path} at t = {self.t:.6e}")
+            return
         U, Bf = self.problem.set_initial_conditions_mhd(self.grid)
         self.U = jnp.asarray(U, dtype=self.dtype)
         self.Bf = [jnp.asarray(b, dtype=self.dtype) for b in Bf]
@@ -182,6 +196,18 @@ class MHDSimulation:
             self.t += dt
             self.istep += 1
             self.cell_updates += self.grid.num_cells
+            # plotfile BEFORE checkpoint (reference ordering constraint,
+            # upstream issue #554; src/simulation.hpp:929-941)
+            if (self.plotfile_interval > 0
+                    and self.istep % self.plotfile_interval == 0):
+                from ..io.plotfile import write_plotfile_mhd
+
+                write_plotfile_mhd(self)
+            if (self.checkpoint_interval > 0
+                    and self.istep % self.checkpoint_interval == 0):
+                from ..io.checkpoint import write_checkpoint_mhd
+
+                write_checkpoint_mhd(self)
 
         jax.block_until_ready(self.U)
         wall = time.monotonic() - t0

@@ -213,3 +213,85 @@ def test_mhd_sharded_matches_single():
     for b8, b1 in zip(Bf8, Bf1):
         np.testing.assert_allclose(b8, b1, rtol=1e-12, atol=1e-13)
     assert db8 < 1e-11
+
+
+def test_mhd_restart_continue_equivalence(tmp_path):
+    """MHD run -> checkpoint -> restart -> continue matches the
+    uninterrupted run bitwise (incl. the staggered face B), like the
+    cell-centered drivers (reference tests/checkpoint_restart_test.sh)."""
+    import os
+
+    cfg = """
+    geometry.prob_lo = 0. 0. 0.
+    geometry.prob_hi = 1. 1. 1.
+    amr.n_cell = 32 32 1
+    cfl = 0.3
+    stop_time = 1.0
+    verbose = 0
+    """
+
+    def run(extra, d):
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            sim = MHDSimulation(OrszagTangProblem(),
+                                ParmParse.from_string(cfg + extra))
+            sim.set_initial_conditions()
+            sim.evolve()
+            return sim
+        finally:
+            os.chdir(cwd)
+
+    (tmp_path / "full").mkdir()
+    sim_full = run("max_timesteps = 6\n", tmp_path / "full")
+
+    part = tmp_path / "part"
+    part.mkdir()
+    run("max_timesteps = 3\ncheckpoint_interval = 3\n", part)
+    assert (part / "last_chk").exists()
+
+    sim_rest = run(
+        f"max_timesteps = 6\nrestartfile = {part / 'last_chk'}\n", part
+    )
+    assert sim_rest.istep == 6
+    np.testing.assert_array_equal(np.asarray(sim_rest.U),
+                                  np.asarray(sim_full.U))
+    for br, bf in zip(sim_rest.Bf, sim_full.Bf):
+        np.testing.assert_array_equal(np.asarray(br), np.asarray(bf))
+    assert sim_rest.final_divb < 1e-11
+
+
+def test_mhd_plotfile_roundtrip(tmp_path):
+    """MHD plotfiles carry the gas components plus cell-averaged and
+    staggered face B, and read back exactly."""
+    import os
+
+    from quokka_tpu.io.plotfile import read_plotfile
+    from quokka_tpu.mhd.advance import b_cell_from_faces
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        sim = MHDSimulation(OrszagTangProblem(), ParmParse.from_string("""
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1. 1. 1.
+        amr.n_cell = 16 16 1
+        cfl = 0.3
+        stop_time = 1.0
+        max_timesteps = 2
+        plotfile_interval = 2
+        verbose = 0
+        """))
+        sim.set_initial_conditions()
+        sim.evolve()
+        header, data = read_plotfile("plt0000002")
+    finally:
+        os.chdir(cwd)
+
+    assert header["solver"] == "mhd-ct"
+    np.testing.assert_array_equal(data["gasDensity"], np.asarray(sim.U[0]))
+    B_cc = np.asarray(b_cell_from_faces(sim.Bf))
+    for d, ax in enumerate("xyz"):
+        np.testing.assert_array_equal(data[f"{ax}-BField-cc"], B_cc[d])
+        np.testing.assert_array_equal(data[f"{ax}-BField-face"],
+                                      np.asarray(sim.Bf[d]))
