@@ -537,20 +537,23 @@ def rk2_stage(
     return U_new, fl2, fv2, n_redo
 
 
-def _apply_from_divs(U0_int, Ug_old, divs: dict, dvels: dict, dt, ng,
-                     opts: HydroOptions) -> jnp.ndarray:
-    """Pointwise flux application from kernel-fused divergence
-    contributions: bit-identical to `rhs_from_fluxes` +
-    `add_internal_energy_pdv` + the RK predict, but with zero XLA rolls
-    (everything fuses into one elementwise pass)."""
+def _sum_divs(divs: dict) -> jnp.ndarray:
+    """Sum per-axis divergence contributions in sorted-axis order (the
+    accumulation order the aliased in-kernel accumulators also use)."""
     rhs = None
     for d in sorted(divs):
         rhs = divs[d] if rhs is None else rhs + divs[d]
-    divv = None
-    for d in sorted(dvels):
-        divv = dvels[d] if divv is None else divv + dvels[d]
+    return rhs
+
+
+def _apply_from_divs(U0_int, Ug_old, div, dvel, dt, ng,
+                     opts: HydroOptions) -> jnp.ndarray:
+    """Pointwise flux application from the kernel-fused divergence totals:
+    bit-identical to `rhs_from_fluxes` + `add_internal_energy_pdv` + the
+    RK predict, but with zero XLA rolls (everything fuses into one
+    elementwise pass)."""
     P = euler.pressure(Ug_old, opts.eos)
-    rhs = rhs.at[EINT].add(-P * divv)
+    rhs = div.at[EINT].add(-P * dvel)
     return U0_int + dt * interior(rhs, ng)
 
 
@@ -592,7 +595,16 @@ def _advance_hydro_rk2_fused(
     Ug0 = fill_fn(U)
     fo_fluxes_fn = lambda: compute_fluxes(Ug0, opts, first_order=True,
                                           bc_kinds=bc_kinds)
-    r1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds)
+    # optional: chain per-axis divergence contributions through aliased
+    # in-kernel accumulators instead of per-axis HBM dicts. Measured on
+    # v5e at 256^3 the two extra double-buffered accumulator windows push
+    # the sweep kernels past the 128M VMEM budget (138.8M -> compile
+    # failure), and the HBM bytes moved are the same either way, so this
+    # defaults OFF; kept env-gated for smaller-domain experiments.
+    accum = not return_fluxes and bool(
+        int(_os.environ.get("QUOKKA_PALLAS_ACCUM_DIV", "0"))
+    )
+    r1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=accum)
 
     def apply_fluxes(fl, fv, redo_mask, fl_hi, fv_hi):
         rhs = rhs_from_fluxes(fl, opts, fl_hi if fl_hi else None)
@@ -619,22 +631,34 @@ def _advance_hydro_rk2_fused(
             flh, fvh = {}, {}
         return fl, fv, flh, fvh, mask_p
 
+    def finalize(Ux):
+        """Floors + dual-energy sync, applied INSIDE each cond branch so
+        the common path fuses apply+limits+sync into one pointwise pass
+        (outside the cond XLA must materialize the intermediate)."""
+        Ux = euler.enforce_limits(
+            Ux, eos, opts.density_floor, opts.temperature_floor,
+            opts.n_scalars,
+        )
+        if opts.use_dual_energy and not eos.is_isothermal:
+            Ux = euler.sync_dual_energy(Ux)
+        return Ux
+
     # ---- stage 1
-    U1_try = _apply_from_divs(U, Ug0, r1["divs"], r1["dvels"], dt, ng, opts)
+    if accum:
+        U1_try = _apply_from_divs(U, Ug0, r1["div"], r1["dvel"], dt, ng, opts)
+    else:
+        U1_try = _apply_from_divs(
+            U, Ug0, _sum_divs(r1["divs"]), _sum_divs(r1["dvels"]), dt, ng, opts
+        )
     redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
     n1 = jnp.sum(redo1)
     fired1 = redo_any_fn(redo1)
 
     def _redo1_branch(_):
         fl, fv, flh, fvh, mask_p = blend_stage1(redo1)
-        return apply_fluxes(fl, fv, mask_p, flh, fvh)
+        return finalize(apply_fluxes(fl, fv, mask_p, flh, fvh))
 
-    U1 = _lax.cond(fired1, _redo1_branch, lambda _: U1_try, None)
-    U1 = euler.enforce_limits(
-        U1, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
-    )
-    if opts.use_dual_energy and not eos.is_isothermal:
-        U1 = euler.sync_dual_energy(U1)
+    U1 = _lax.cond(fired1, _redo1_branch, lambda _: finalize(U1_try), None)
 
     if opts.rk_order == 1:
         return U1, {"n_fofc": n1}
@@ -644,13 +668,21 @@ def _advance_hydro_rk2_fused(
     # emit the time-averaged face flux for the parent's flux register)
     Ug1 = fill_fn2(U1)
     r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, avg_with=r1,
-                                   emit_avg_flux=return_fluxes)
-    dvels2 = r2["dvels"]
-    if return_fluxes:
-        # emit_avg_flux kernels return the RAW stage-2 velocity divergence
-        # (VMEM budget); average with stage 1's here -- divergence is linear
-        dvels2 = {d: 0.5 * (r1["dvels"][d] + r2["dvels"][d]) for d in dvels2}
-    U2_try = _apply_from_divs(U, Ug0, r2["divs"], dvels2, dt, ng, opts)
+                                   emit_avg_flux=return_fluxes,
+                                   accumulate=accum)
+    if accum:
+        U2_try = _apply_from_divs(U, Ug0, r2["div"], r2["dvel"], dt, ng, opts)
+    else:
+        dvels2 = r2["dvels"]
+        if return_fluxes:
+            # emit_avg_flux kernels return the RAW stage-2 velocity
+            # divergence (VMEM budget); average with stage 1's here --
+            # divergence is linear
+            dvels2 = {d: 0.5 * (r1["dvels"][d] + r2["dvels"][d])
+                      for d in dvels2}
+        U2_try = _apply_from_divs(
+            U, Ug0, _sum_divs(r2["divs"]), _sum_divs(dvels2), dt, ng, opts
+        )
     redo2 = jnp.logical_not(euler.is_state_valid(U2_try, eos))
 
     if return_fluxes:
@@ -737,23 +769,18 @@ def _advance_hydro_rk2_fused(
                     flux_avg, vel_avg, fo_fl, fo_fv, mask_p, opts
                 )
                 flh, fvh = {}, {}
-            return apply_fluxes(fl, fv, mask_p, flh, fvh)
+            return finalize(apply_fluxes(fl, fv, mask_p, flh, fvh))
 
         U2b = _lax.cond(redo_any_fn(redo2b), _redo2_branch,
-                        lambda _: U2a, None)
+                        lambda _: finalize(U2a), None)
         return U2b, n2b
 
     def _clean2(_):
-        return U2_try, jnp.sum(redo2)
+        return finalize(U2_try), jnp.sum(redo2)
 
     U2, n2 = _lax.cond(
         jnp.logical_or(fired1, redo_any_fn(redo2)), _fallback2, _clean2, None
     )
-    U2 = euler.enforce_limits(
-        U2, eos, opts.density_floor, opts.temperature_floor, opts.n_scalars
-    )
-    if opts.use_dual_energy and not eos.is_isothermal:
-        U2 = euler.sync_dual_energy(U2)
     return U2, {"n_fofc": n1 + n2}
 
 

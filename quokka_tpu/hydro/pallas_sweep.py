@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..indices import EGAS, EINT, MX1, PEINT, PPRES, PRHO, PVX1, RHO, SCALAR0
 from ..stencil import sh
-from . import reconstruct
+from . import euler, reconstruct
 from .advance import HydroOptions, _transverse_axes
 from .riemann import FaceState, hllc, llf
 
@@ -122,7 +122,8 @@ def precompute_transverse_fields(prim: jnp.ndarray, opts: HydroOptions,
 
 
 def precompute_transverse_pallas(prim: jnp.ndarray, opts: HydroOptions,
-                                 bc_kinds: dict | None):
+                                 bc_kinds: dict | None,
+                                 state_is_cons: bool = False):
     """Kernel-fused version of `precompute_transverse_fields` for the
     divergence fast path: one Pallas kernel per axis t (sweep axis whole
     in-block, so the +-2 chi stencil and the +-1 velocity-difference
@@ -130,7 +131,13 @@ def precompute_transverse_pallas(prim: jnp.ndarray, opts: HydroOptions,
     like the sweep kernels, which reproduces the padded fill bit-exactly).
     The XLA formulation runs these as ~a dozen separate HBM passes over
     3D fields; here each axis is one read of prim + three 1-component
-    writes. Returns (dmins, chi_cell, chi_ghost) like the XLA version."""
+    writes. Returns (dmins, chi_cell, chi_ghost) like the XLA version.
+
+    ``state_is_cons``: the input is the CONSERVED state; cons->prim runs
+    in-VMEM after the wall-ghost assembly (bit-identical to converting the
+    ghost-filled array -- the pointwise conversion commutes with mirror/
+    edge-copy ghosts), which saves the HBM materialization of the
+    primitive array on the hot path."""
     nv, X, Y, Z = prim.shape
     dtype = prim.dtype
     do_chi = opts.use_flattening and opts.reconstruction_order == 3
@@ -150,8 +157,11 @@ def precompute_transverse_pallas(prim: jnp.ndarray, opts: HydroOptions,
             if bc_axis is not None:
                 g = 4
                 blk = _assemble_wall_ghosts(
-                    blk, t, bc_axis[0], bc_axis[1], odd_comp=PVX1 + t, g=g
+                    blk, t, bc_axis[0], bc_axis[1],
+                    odd_comp=(MX1 if state_is_cons else PVX1) + t, g=g
                 )
+            if state_is_cons:
+                blk = euler.cons_to_prim(blk, opts.eos, opts.reconstruct_eint)
 
             def islice(A):
                 if g == 0:
@@ -458,6 +468,8 @@ def compute_axis_flux_pallas(
     dx_axis: float | None = None,
     avg_with: tuple | None = None,
     emit_avg_flux: bool = False,
+    state_is_cons: bool = False,
+    acc: tuple | None = None,
 ):
     """Single fused kernel: flux + face velocity for one sweep axis.
 
@@ -491,7 +503,17 @@ def compute_axis_flux_pallas(
     the time-averaged face flux 0.5*(F1+F2) as an output -- what AMR flux
     registers consume (the level update stays pointwise from the fused
     divergence while the averaged flux feeds refluxing,
-    reference `YAFluxRegister` semantics)."""
+    reference `YAFluxRegister` semantics).
+
+    ``state_is_cons``: the first array is the CONSERVED state; cons->prim
+    runs in-VMEM after wall-ghost assembly (bit-identical to converting
+    the ghost-filled array), saving the HBM primitive materialization.
+
+    ``acc`` = (div_acc, dvel_acc): running divergence totals from the
+    previous axis sweeps; this kernel ADDS its contribution in-VMEM and
+    the outputs alias the acc buffers (`input_output_aliases`), so the
+    RK apply reads ONE [nvar]+1 divergence pair instead of one per axis
+    (same accumulation order as the XLA `rhs + divs[d]` chain)."""
     if block_transverse is None:
         block_transverse = _BLOCK_TRANSVERSE
     nv = prim.shape[0]
@@ -525,6 +547,9 @@ def compute_axis_flux_pallas(
     if emit_avg_flux and (wall or not has_avg):
         raise ValueError("emit_avg_flux requires avg_with and padded "
                          "(non-wall) arrays -- the AMR reflux path")
+    if acc is not None and (not with_div or emit_avg_flux):
+        raise ValueError("acc accumulation requires dx_axis and is not "
+                         "supported with emit_avg_flux")
 
     # 8-wide window blocks along the sweep axis (width-1 blocks on a tiled
     # dim crash the Mosaic lowering), used for the chi ghost-plane inputs
@@ -574,6 +599,15 @@ def compute_axis_flux_pallas(
             inputs.append(jnp.broadcast_to(jnp.expand_dims(fvh1, axis), w4[1:]))
             in_specs.append(pl.BlockSpec(pshape3, pimap3, memory_space=pltpu.VMEM))
 
+    # running divergence accumulators (aliased to the div outputs)
+    acc_in_idx = None
+    if acc is not None:
+        acc_in_idx = len(inputs)
+        inputs.append(acc[0])
+        in_specs.append(pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM))
+        inputs.append(acc[1])
+        in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
+
     def kernel(*refs):
         idx = 0
         prim_ref = refs[idx]; idx += 1
@@ -597,6 +631,10 @@ def compute_axis_flux_pallas(
             if wall:
                 flh1_ref, fvh1_ref = refs[idx], refs[idx + 1]
                 idx += 2
+        acc_div_ref = acc_dvel_ref = None
+        if acc is not None:
+            acc_div_ref, acc_dvel_ref = refs[idx], refs[idx + 1]
+            idx += 2
         flux_ref = vel_ref = flux_hi_ref = vel_hi_ref = favg_ref = None
         if has_avg:
             # avg (RK2 stage-2) kernels emit ONLY the divergences: the
@@ -625,7 +663,8 @@ def compute_axis_flux_pallas(
             lo_k, hi_k = bc_axis
             g = 4
             prim_blk = _assemble_wall_ghosts(
-                prim_blk, axis, lo_k, hi_k, odd_comp=PVX1 + axis, g=g
+                prim_blk, axis, lo_k, hi_k,
+                odd_comp=(MX1 if state_is_cons else PVX1) + axis, g=g
             )
             if chi_blk is not None:
                 def _adj(ref):
@@ -643,6 +682,11 @@ def compute_axis_flux_pallas(
                 dv_blk = _assemble_wall_ghosts(dv_blk, axis, lo_k, hi_k, None, g)
             if dw_blk is not None:
                 dw_blk = _assemble_wall_ghosts(dw_blk, axis, lo_k, hi_k, None, g)
+
+        if state_is_cons:
+            prim_blk = euler.cons_to_prim(
+                prim_blk, opts.eos, opts.reconstruct_eint
+            )
 
         F, v = _sweep_body(prim_blk, chi_blk, dv_blk, dw_blk, axis, opts, first_order)
 
@@ -683,12 +727,17 @@ def compute_axis_flux_pallas(
                 nax = F.ndim - 3 + axis
                 Fall = jnp.concatenate([Fd, Fh], axis=nax)
                 vall = jnp.concatenate([vd, vh], axis=axis)
-                div_ref[...] = (
+                div_c = (
                     fslice(Fall, 0, n_sweep) - fslice(Fall, 1, n_sweep + 1)
                 ) / dx_axis
-                dvel_ref[...] = (
+                dvel_c = (
                     fslice(vall, 1, n_sweep + 1) - fslice(vall, 0, n_sweep)
                 ) / dx_axis
+                if acc_div_ref is not None:
+                    div_c = acc_div_ref[...] + div_c
+                    dvel_c = acc_dvel_ref[...] + dvel_c
+                div_ref[...] = div_c
+                dvel_ref[...] = dvel_c
         else:
             if not has_avg:
                 flux_ref[...] = F
@@ -706,8 +755,13 @@ def compute_axis_flux_pallas(
                     # averaged-velocity divergence up to FMA contraction)
                     if v1_ref is not None:
                         vd = 0.5 * (v1_ref[...] + v)
-                div_ref[...] = (Fd - sh(Fd, 1, 1 + axis)) / dx_axis
-                dvel_ref[...] = (sh(vd, 1, axis) - vd) / dx_axis
+                div_c = (Fd - sh(Fd, 1, 1 + axis)) / dx_axis
+                dvel_c = (sh(vd, 1, axis) - vd) / dx_axis
+                if acc_div_ref is not None:
+                    div_c = acc_div_ref[...] + div_c
+                    dvel_c = acc_dvel_ref[...] + dvel_c
+                div_ref[...] = div_c
+                dvel_ref[...] = dvel_c
                 if favg_ref is not None:
                     favg_ref[...] = Fd
 
@@ -756,6 +810,10 @@ def compute_axis_flux_pallas(
                 jax.ShapeDtypeStruct((X, Y, Z), dtype),
             ]
 
+    aliases = {}
+    if acc is not None:
+        div_out_idx = 0 if has_avg else 2 + (2 if wall else 0)
+        aliases = {acc_in_idx: div_out_idx, acc_in_idx + 1: div_out_idx + 1}
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -763,6 +821,7 @@ def compute_axis_flux_pallas(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_interpret_mode(),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
@@ -789,7 +848,8 @@ def compute_axis_flux_pallas(
 def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
                               bc_kinds: dict | None = None,
                               avg_with: dict | None = None,
-                              emit_avg_flux: bool = False) -> dict:
+                              emit_avg_flux: bool = False,
+                              accumulate: bool = False) -> dict:
     """Sweep all axes once, emitting fluxes AND their divergence
     contributions from the same kernels (see `compute_axis_flux_pallas`
     ``dx_axis``). Returns a dict with keys ``fluxes``, ``facevels``,
@@ -801,16 +861,26 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
     ``facevels``, ``flux_hi``, ``vel_hi`` -- divs/dvels then hold the
     divergence of the time-averaged flux and the face arrays are NOT
     emitted (fluxes/facevels/hi dicts come back empty; the FOFC fallback
-    recomputes the raw stage-2 sweep in that rare branch)."""
-    from . import euler
+    recomputes the raw stage-2 sweep in that rare branch).
 
-    prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
+    ``accumulate``: chain the per-axis divergence contributions through
+    the kernels via aliased accumulators (same summation order as the XLA
+    ``rhs + divs[d]`` chain, but with no per-axis HBM materialization);
+    the return then carries single ``div``/``dvel`` totals instead of the
+    per-axis ``divs``/``dvels`` dicts. Not available with
+    ``emit_avg_flux`` (the AMR reflux path keeps the classic layout)."""
+    if accumulate and emit_avg_flux:
+        raise ValueError("accumulate is not supported with emit_avg_flux")
+    in_cons = bool(int(os.environ.get("QUOKKA_PALLAS_CONS_IN_KERNEL", "1")))
+    if not in_cons:
+        Ug = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
     dmins, chi_cell, chi_ghost = precompute_transverse_pallas(
-        prim, opts, bc_kinds
+        Ug, opts, bc_kinds, state_is_cons=in_cons
     )
 
     out = {"fluxes": {}, "facevels": {}, "flux_hi": {}, "vel_hi": {},
            "divs": {}, "dvels": {}}
+    acc = None
     for d in opts.active_axes:
         bc_axis = None if bc_kinds is None else bc_kinds.get(d)
         avg_axis = None
@@ -819,10 +889,11 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
             if bc_axis is not None:
                 avg_axis += (avg_with["flux_hi"][d], avg_with["vel_hi"][d])
         res = compute_axis_flux_pallas(
-            prim, d, opts, chi_cell, dmins, False,
+            Ug, d, opts, chi_cell, dmins, False,
             bc_axis=bc_axis, chi_ghost_axis=chi_ghost.get(d),
             dx_axis=opts.dx[d], avg_with=avg_axis,
-            emit_avg_flux=emit_avg_flux,
+            emit_avg_flux=emit_avg_flux, state_is_cons=in_cons,
+            acc=acc if accumulate else None,
         )
         if avg_axis is not None:
             if emit_avg_flux:
@@ -839,8 +910,13 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
         if avg_axis is None:
             out["fluxes"][d] = F
             out["facevels"][d] = v
-        out["divs"][d] = dv
-        out["dvels"][d] = dl
+        if accumulate:
+            acc = (dv, dl)
+        else:
+            out["divs"][d] = dv
+            out["dvels"][d] = dl
+    if accumulate:
+        out["div"], out["dvel"] = acc
     return out
 
 
@@ -852,24 +928,28 @@ def compute_fluxes_pallas(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool
     With `bc_kinds` = {axis: (lo_kind, hi_kind) | None} the input is an
     UNPADDED (ghost-free) state: periodic axes (None entries) use roll
     wrap, wall axes get in-kernel ghost assembly, and the return gains
-    per-axis hi-wall plane dicts: (fluxes, facevels, flux_hi, vel_hi)."""
-    from . import euler
+    per-axis hi-wall plane dicts: (fluxes, facevels, flux_hi, vel_hi).
 
+    This classic path keeps cons->prim OUTSIDE the kernels: it is the
+    contraction-stable formulation that the bitwise ghost-free-vs-padded
+    parity tests pin (the in-VMEM conversion of the fused-divergence path
+    shifts FMA-contraction sites between the padded and wall-assembled
+    kernel shapes, moving results by ~1 ulp)."""
     prim = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
     chi_ghost = {}
     if first_order:
         dmins, chi_cell = {}, None
-    elif bc_kinds is None:
-        dmins, chi_cell = precompute_transverse_fields(prim, opts)
     else:
-        dmins, chi_cell, chi_ghost = precompute_transverse_fields(
+        dmins, chi_cell, chi_ghost = precompute_transverse_pallas(
             prim, opts, bc_kinds
         )
 
     fluxes, facevels = {}, {}
     if bc_kinds is None:
         for d in opts.active_axes:
-            F, v = compute_axis_flux_pallas(prim, d, opts, chi_cell, dmins, first_order)
+            F, v = compute_axis_flux_pallas(
+                prim, d, opts, chi_cell, dmins, first_order
+            )
             fluxes[d] = F
             facevels[d] = v
         return fluxes, facevels
@@ -878,7 +958,9 @@ def compute_fluxes_pallas(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool
     for d in opts.active_axes:
         bc_axis = bc_kinds.get(d)
         if bc_axis is None:
-            F, v = compute_axis_flux_pallas(prim, d, opts, chi_cell, dmins, first_order)
+            F, v = compute_axis_flux_pallas(
+                prim, d, opts, chi_cell, dmins, first_order
+            )
         else:
             F, v, Fh, vh = compute_axis_flux_pallas(
                 prim, d, opts, chi_cell, dmins, first_order, bc_axis=bc_axis,
