@@ -83,6 +83,7 @@ class AMRSimulation(Simulation):
 
         self._level_step_jits: Dict[int, Callable] = {}
         self._level_rad: Dict[int, object] = {}
+        self._active_cell_cache: Dict[int, int] = {}
         # jitted inter-level operators (reflux/average-down/publication/dt):
         # eager per-op dispatch of these costs ~10 s/call over the remote
         # TPU attachment (measured: reflux 10.8 s eager vs one jit call)
@@ -468,6 +469,7 @@ class AMRSimulation(Simulation):
             tags = tags & inner
 
         new_mask = ops.prolong_mask(tags, self.grid.active_axes)
+        self._active_cell_cache.pop(l + 1, None)
         if not bool(jnp.any(new_mask)):
             self.finest_level = min(self.finest_level, l)
             self.level_U[l + 1] = None
@@ -667,7 +669,12 @@ class AMRSimulation(Simulation):
             )
         self.level_U[l] = U_new
         self.level_steps[l] += 1
-        self.cell_updates += self.level_grids[l].num_cells
+        # FOM counts ACTIVE cells only (the reference counts real patch
+        # cells, ``src/simulation.hpp:972-980`` cellUpdatesEachLevel_);
+        # the dense representation also advances unrefined backdrop cells,
+        # tracked separately as raw work
+        self.cell_updates += self._active_cells(l)
+        self.cell_updates_raw += self.level_grids[l].num_cells
         # device-side finiteness flag (stays on device; the coarse-substep
         # driver stacks all flags and syncs once)
         if hasattr(self, "_substep_valid_flags"):
@@ -722,11 +729,52 @@ class AMRSimulation(Simulation):
             self._last_restricted_fluxes = restricted_for_parent
 
     # ------------------------------------------------------------ diagnostics
+    def _active_cells(self, l: int) -> int:
+        """Active (mask=True) cell count at level l, cached per regrid.
+        Level-l work in the FOM counts only these (reference
+        ``cellUpdatesEachLevel_``, src/simulation.hpp:972-980)."""
+        if l == 0:
+            return self.level_grids[0].num_cells
+        c = self._active_cell_cache.get(l)
+        if c is None:
+            c = int(jnp.sum(self.level_mask[l]))
+            self._active_cell_cache[l] = c
+        return c
+
     def _composite_sums(self):
-        """Conservation sums over the composite grid (finest data wins)."""
-        total = jnp.sum(self.level_U[0], axis=(1, 2, 3)) * self.level_grids[0].cell_volume()
-        # composite = coarse sum is already consistent after average_down
-        return total
+        """Conservation sums over the composite grid (finest data wins):
+        mask-weighted true composite (reference `computeVolumeIntegral`
+        over the uncovered cells of every level, ``src/simulation.hpp:
+        848-851, 1966-1990``). Unlike a level-0-only sum (which leans on
+        the average-down invariant), this also sees fine-level-only
+        corruption that average-down would launder into the coarse sum."""
+        finest = self.finest_level
+        key = finest
+        if not hasattr(self, "_compsum_jits"):
+            self._compsum_jits: Dict[int, Callable] = {}
+        if key not in self._compsum_jits:
+            active = self.grid.active_axes
+            vols = [self.level_grids[l].cell_volume() for l in range(finest + 1)]
+
+            def compsum_fn(Us, masks):
+                total = None
+                for l in range(finest + 1):
+                    w = (jnp.ones(Us[l].shape[1:], bool) if l == 0
+                         else masks[l])
+                    if l < finest:
+                        covered = ops.restrict_mask_any(masks[l + 1], active)
+                        w = w & jnp.logical_not(covered)
+                    part = jnp.sum(
+                        jnp.where(w[None], Us[l], 0.0), axis=(1, 2, 3)
+                    ) * vols[l]
+                    total = part if total is None else total + part
+                return total
+
+            self._compsum_jits[key] = jax.jit(compsum_fn)
+        return self._compsum_jits[key](
+            tuple(self.level_U[: finest + 1]),
+            tuple(self.level_mask[: finest + 1]),
+        )
 
     def _conservation_audit(self):
         final = np.asarray(self._composite_sums())

@@ -181,6 +181,9 @@ class Simulation:
         self.dt_prev = float("inf")
         self.istep = 0
         self.cell_updates = 0
+        # raw advanced-cell work (AMR's dense levels also advance unrefined
+        # backdrop cells; cell_updates counts active cells only)
+        self.cell_updates_raw = 0
         self.error_norm = float("nan")
         self.init_sums: Optional[np.ndarray] = None
         self._radiation = None  # attached lazily when radiation is enabled
@@ -914,6 +917,7 @@ class Simulation:
                         self.dt_prev = float(dtp)
                         self.istep += K
                         self.cell_updates += K * ncells
+                        self.cell_updates_raw += K * ncells
                         if self.verbose:
                             print(f"Coarse STEPS {self.istep - K + 1}..{self.istep} "
                                   f"(fused window) t = {self.t:.6e}")
@@ -962,6 +966,7 @@ class Simulation:
             self.dt_prev = dt
             self.istep += 1
             self.cell_updates += ncells
+            self.cell_updates_raw += ncells
 
             with prof.region("IO"):
                 self._maybe_write_outputs()
