@@ -44,6 +44,9 @@ from ..hydro.advance import HydroOptions
 from ..simulation import Simulation
 from ..stencil import ghost_widths, sh
 from . import operators as ops
+from . import pool_advance as pa
+from . import sparse as sp
+from . import tilepool as tp
 
 
 class AMRSimulation(Simulation):
@@ -75,6 +78,38 @@ class AMRSimulation(Simulation):
             self.level_grids.append(g)
             self.level_opts.append(dataclasses.replace(self.hydro_opts, dx=g.dx))
 
+        # sparse tile-pool representation for deep levels (amr/tilepool.py):
+        # levels >= sparse_min_level hold fixed-shape tile pools instead of
+        # dense full-domain arrays (the reference's box-granular patches)
+        self.sparse_min_level = self.pp.get_int("amr.sparse_min_level", 10**9)
+        ts = self.pp.get_list("amr.tile_size", [32, 32, 32])
+        self.tile_shape = tuple(int(x) for x in ts)
+        self.level_pool: List[Optional[object]] = [None] * (self.max_level + 1)
+        if self.sparse_min_level <= self.max_level:
+            if self.sparse_min_level < 1:
+                raise ValueError("amr.sparse_min_level must be >= 1 "
+                                 "(level 0 is always dense)")
+            if len(self.grid.active_axes) != 3:
+                raise NotImplementedError("tile-pool levels require 3D")
+            if not all(self.periodic):
+                raise NotImplementedError(
+                    "tile-pool levels currently require periodic BCs "
+                    "(wall ghost assembly is not wired into the pool fill)"
+                )
+            if self.gravity_enabled:
+                raise NotImplementedError(
+                    "self-gravity is not yet supported with tile-pool levels"
+                )
+            smin = self.sparse_min_level
+            for d in range(3):
+                ns = self.level_grids[smin].n_cell[d]
+                if self.tile_shape[d] % 2 or ns % self.tile_shape[d]:
+                    raise ValueError(
+                        f"amr.tile_size {self.tile_shape} must be even and "
+                        f"divide the level-{smin} extent "
+                        f"{self.level_grids[smin].n_cell}"
+                    )
+
         # dynamic per-level state
         self.level_U: List[Optional[jnp.ndarray]] = [None] * (self.max_level + 1)
         self.level_mask: List[Optional[jnp.ndarray]] = [None] * (self.max_level + 1)
@@ -84,6 +119,9 @@ class AMRSimulation(Simulation):
         self._level_step_jits: Dict[int, Callable] = {}
         self._level_rad: Dict[int, object] = {}
         self._active_cell_cache: Dict[int, int] = {}
+        self._pool_step_jits: Dict[int, Callable] = {}
+        self._pool_jits: Dict[object, Callable] = {}
+        self._pool_rad: Dict[int, object] = {}
         # jitted inter-level operators (reflux/average-down/publication/dt):
         # eager per-op dispatch of these costs ~10 s/call over the remote
         # TPU attachment (measured: reflux 10.8 s eager vs one jit call)
@@ -249,8 +287,16 @@ class AMRSimulation(Simulation):
             self._level_rad[l] = LevelRadiation(self, l, self.level_grids[l])
         return self._level_rad[l]
 
+    def _get_pool_rad(self, l: int):
+        if l not in self._pool_rad:
+            from ..radiation.pool import PoolLevelRadiation
+
+            self._pool_rad[l] = PoolLevelRadiation(self, l, self.level_grids[l])
+        return self._pool_rad[l]
+
     # ---------------------------------------------------------------- reflux
-    def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float):
+    def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float,
+                _build_only: bool = False):
         """Apply the coarse-fine flux mismatch to uncovered coarse cells
         (reference `YAFluxRegister::Reflux` semantics). One jitted call per
         level (eager per-op dispatch measured 10.8 s/call over the remote
@@ -288,6 +334,8 @@ class AMRSimulation(Simulation):
                 return self._rad_fixup(U)
 
             self._reflux_jits[l] = jax.jit(reflux_fn)
+        if _build_only:
+            return
         self.level_U[l] = self._reflux_jits[l](
             self.level_U[l], self.level_mask[l + 1], F_crse, F_fine_sum,
             jnp.asarray(dt_c, self.level_U[l].dtype),
@@ -451,10 +499,157 @@ class AMRSimulation(Simulation):
             self.particles = cic.kick(self.particles, self._particle_accel(),
                                       0.5 * dt)
 
+    # ------------------------------------------------------ tile-pool regrid
+    def _padded_current(self, l: int):
+        """Ghost-padded FULL state of level l at the current time (regrid
+        and IC paths; the hot loop threads padded parent pairs instead)."""
+        if not self._is_pool(l):
+            return self._get_dense_pad(l)(self.level_U[l])
+        st = self.level_pool[l]
+        ppad = self._padded_current(l - 1)
+        nbr, org, ps, po = self._pool_pad_args(l)
+        one = jnp.asarray(1.0, st.U.dtype)
+        return self._get_pool_pad(l)(st.U, nbr, org, ps, po, ppad, ppad, one)
+
+    def _pool_active_mask(self, l: int) -> jnp.ndarray:
+        m = self.level_pool[l].meta
+        return jnp.arange(m.capacity) < m.n_active
+
+    def _pool_octant_tags(self, l: int) -> np.ndarray:
+        """[T, 2, 2, 2] bool: tagged octants of pool level l's tiles
+        (buffered by n_error_buf via exact cross-tile dilation on the
+        ghost-padded tags)."""
+        st = self.level_pool[l]
+        g = self._g
+        if self.n_error_buf > g:
+            raise ValueError(
+                f"amr.n_error_buf {self.n_error_buf} exceeds the pool ghost "
+                f"width {g} (cross-tile tag dilation would be inexact)"
+            )
+        padded = self._padded_current(l)
+        key = ("octags", l)
+        if key not in self._pool_jits:
+            problem = self.problem
+            grid = self.level_grids[l]
+            n_buf = self.n_error_buf
+            ts = self.tile_shape
+
+            def fn(padded_pool, origins):
+                def one(up, o):
+                    tags = problem.error_est_local(up, grid, l, o)
+                    tags = ops.dilate(tags, n_buf, (0, 1, 2), (False,) * 3)
+                    tags = tags[g:-g, g:-g, g:-g]
+                    return tags.reshape(
+                        2, ts[0] // 2, 2, ts[1] // 2, 2, ts[2] // 2
+                    ).any(axis=(1, 3, 5))
+
+                return jax.vmap(one)(padded_pool, origins)
+
+            self._pool_jits[key] = jax.jit(fn)
+        octs = self._pool_jits[key](padded, st.meta.origin_dev)
+        return np.asarray(octs)[: st.meta.n_active]
+
+    def _regrid_pool_level(self, l: int) -> bool:
+        """(Re)build POOL level l+1 from tags on level l (dense or pool)."""
+        ts = self.tile_shape
+        active = self.grid.active_axes
+        child_shape = self.level_grids[l + 1].n_cell
+        g = self._g
+
+        if self._is_pool(l):
+            octs = self._pool_octant_tags(l)
+            meta_l = self.level_pool[l].meta
+            tiles = []
+            for s in range(meta_l.n_active):
+                i, j, k = (int(v) for v in meta_l.ijk[s])
+                for a in range(2):
+                    for b in range(2):
+                        for c in range(2):
+                            if octs[s, a, b, c]:
+                                tiles.append((2 * i + a, 2 * j + b, 2 * k + c))
+        else:
+            tags = self.problem.error_est(self, l)
+            if tags is None:
+                return self.finest_level > l
+            tags = jnp.asarray(tags, dtype=bool)
+            tags = ops.dilate(tags, self.n_error_buf, active, self.periodic)
+            TX, TY, TZ = (child_shape[d] // ts[d] for d in range(3))
+            hx, hy, hz = ts[0] // 2, ts[1] // 2, ts[2] // 2
+            blocks = tags.reshape(TX, hx, TY, hy, TZ, hz).any(axis=(1, 3, 5))
+            tiles = [tuple(int(v) for v in t)
+                     for t in np.argwhere(np.asarray(blocks))]
+
+        # keep the nesting invariant: existing grandchild tiles pin their
+        # parent tiles until the grandchild's own regrid runs (the dense
+        # path's full-domain arrays make this implicit)
+        if l + 2 <= self.max_level and self.level_pool[l + 2] is not None:
+            gc_meta = self.level_pool[l + 2].meta
+            pins = {
+                tuple(int(v) // 2 for v in gc_meta.ijk[s])
+                for s in range(gc_meta.n_active)
+            }
+            tiles = sorted(set(tiles) | pins)
+
+        self._active_cell_cache.pop(l + 1, None)
+        if not tiles:
+            self.finest_level = min(self.finest_level, l)
+            self.level_pool[l + 1] = None
+            if self._is_pool(l):
+                self.level_pool[l].child_slots = None
+            return False
+
+        old = self.level_pool[l + 1]
+        cap = old.meta.grow_capacity(len(tiles)) if old is not None else None
+        meta = tp.TileMeta.build(child_shape, ts, tiles, self.periodic,
+                                 capacity=cap)
+
+        ppad = self._padded_current(l)
+        if self._is_pool(l):
+            ps, po = tp.parent_linkage(meta, self.level_pool[l].meta)
+            new_data = sp.prolong_tiles_from_pool(ppad, ps, po, ts, g, active)
+        else:
+            ps = po = None
+            new_data = sp.prolong_tiles_from_dense(
+                ppad, meta.origin_dev, ts, g, active
+            )
+        if old is not None and old.meta.n_active:
+            remap = np.full(meta.capacity, -1, np.int32)
+            for t, s in meta.slot_of.items():
+                remap[s] = old.meta.slot_of.get(t, -1)
+            remap_dev = jnp.asarray(remap)
+            carried = jnp.take(old.U, jnp.maximum(remap_dev, 0), axis=0)
+            keep = (remap_dev >= 0).reshape(-1, 1, 1, 1, 1)
+            U_new = jnp.where(keep, carried, new_data)
+        else:
+            U_new = new_data
+        if meta.n_active < meta.capacity:
+            # benign data in spare slots: every vmapped pass stays finite
+            U_new = U_new.at[meta.n_active:].set(U_new[0])
+
+        # the child's OWN children must stay nested: rebuild the linkage
+        # below if a grandchild pool exists (regrid proceeds top-down, so
+        # the grandchild is rebuilt right after this call)
+        self.level_pool[l + 1] = sp.PoolState(
+            meta=meta, U=U_new, parent_slot=ps, parent_off=po
+        )
+        if l + 2 <= self.max_level and self.level_pool[l + 2] is not None:
+            gc = self.level_pool[l + 2]
+            gps, gpo = tp.parent_linkage(gc.meta, meta)
+            gc.parent_slot, gc.parent_off = gps, gpo
+            self.level_pool[l + 1].child_slots = tp.child_linkage(meta, gc.meta)
+        if self._is_pool(l):
+            self.level_pool[l].child_slots = tp.child_linkage(
+                self.level_pool[l].meta, meta
+            )
+        self.finest_level = max(self.finest_level, l + 1)
+        return True
+
     # ---------------------------------------------------------------- regrid
     def _regrid_level(self, l: int) -> bool:
         """(Re)build level l+1 from error tags on level l. Returns True if
         level l+1 exists afterwards."""
+        if self._is_pool(l + 1):
+            return self._regrid_pool_level(l)
         tags = self.problem.error_est(self, l)
         if tags is None:
             return self.finest_level > l
@@ -509,14 +704,15 @@ class AMRSimulation(Simulation):
                 dt_l = (ropts.max_substeps * ropts.cfl
                         * self.level_grids[l].dx_min / ropts.chat)
                 dt0 = min(dt0, fac * dt_l)
+        dense_top = min(finest, self.sparse_min_level - 1)
         if finest not in self._dt_jits:
             nh = self.layout.nvar_hydro
             cfl = self.cfl
             subcyc = self.do_subcycle
 
-            def dt_fn(Us, masks):
+            def dt_fn(Us, masks, pools, pmasks):
                 parts = []
-                for l in range(finest + 1):
+                for l in range(dense_top + 1):
                     # subcycled: level l runs 2^l substeps per coarse step
                     fac = (2**l) if subcyc else 1
                     opts = self.level_opts[l]
@@ -529,12 +725,28 @@ class AMRSimulation(Simulation):
                         fac * cfl * self.level_grids[l].dx_min / smax,
                         jnp.inf,
                     ))
+                for i, l in enumerate(range(dense_top + 1, finest + 1)):
+                    fac = (2**l) if subcyc else 1
+                    opts = self.level_opts[l]
+                    sig = jax.vmap(
+                        lambda u: jnp.max(euler.max_signal_speed(u, opts.eos))
+                    )(pools[i][:, :nh])
+                    smax = jnp.max(jnp.where(pmasks[i], sig, 0.0))
+                    parts.append(jnp.where(
+                        smax > 0,
+                        fac * cfl * self.level_grids[l].dx_min / smax,
+                        jnp.inf,
+                    ))
                 return jnp.min(jnp.stack(parts))
 
             self._dt_jits[finest] = jax.jit(dt_fn)
         dt_dev = self._dt_jits[finest](
-            tuple(self.level_U[: finest + 1]),
-            tuple(self.level_mask[: finest + 1]),
+            tuple(self.level_U[: dense_top + 1]),
+            tuple(self.level_mask[: dense_top + 1]),
+            tuple(self.level_pool[l].U
+                  for l in range(dense_top + 1, finest + 1)),
+            tuple(self._pool_active_mask(l)
+                  for l in range(dense_top + 1, finest + 1)),
         )
         dt0 = min(dt0, float(dt_dev))
         dt0 = min(dt0, 1.1 * self.dt_prev, self.max_dt)
@@ -551,11 +763,17 @@ class AMRSimulation(Simulation):
         as 2^k substeps of dt/2^k (the reference retries per level,
         ``src/QuokkaSimulation.hpp:886-990``; retrying the coarse step is the
         conservative equivalent for the dense-level hierarchy)."""
+        import dataclasses as _dc
+
         max_retries = 6
         saved_U = [u for u in self.level_U]
         saved_mask = [m for m in self.level_mask]
         saved_steps = list(self.level_steps)
         saved_finest = self.finest_level
+        saved_pool = [
+            _dc.replace(st) if st is not None else None
+            for st in self.level_pool
+        ]
 
         for retry in range(max_retries + 1):
             nsub = 2**retry
@@ -581,6 +799,10 @@ class AMRSimulation(Simulation):
             self.level_mask = [m for m in saved_mask]
             self.level_steps = list(saved_steps)
             self.finest_level = saved_finest
+            self.level_pool = [
+                _dc.replace(st) if st is not None else None
+                for st in saved_pool
+            ]
             if self.verbose:
                 print(f"\t>> Re-trying AMR coarse step (nsubsteps={2*nsub})")
         return False
@@ -682,6 +904,7 @@ class AMRSimulation(Simulation):
 
         if l < self.finest_level:
             # save parent old/new for the children's space-time ghost fill
+            child_pool = self._is_pool(l + 1)
             saved = (
                 getattr(self, "_parent_U_old", None),
                 getattr(self, "_parent_U_new", None),
@@ -692,6 +915,15 @@ class AMRSimulation(Simulation):
             self._parent_U_new = U_new
             self._parent_t = t_level
             self._parent_dt = dt_l
+            if child_pool:
+                # pool children consume ghost-PADDED parent endpoints
+                saved_pad = (
+                    getattr(self, "_parent_padded_old", None),
+                    getattr(self, "_parent_padded_new", None),
+                )
+                pad = self._get_dense_pad(l)
+                self._parent_padded_old = pad(U_old)
+                self._parent_padded_new = pad(U_new)
 
             # subcycled: 2 fine substeps per parent step; global stepping:
             # one fine step with the same dt (reference do_subcycle=0)
@@ -699,9 +931,12 @@ class AMRSimulation(Simulation):
             w = 1.0 / n_fine
             fine_flux_sum = None
             for i in range(n_fine):
-                self._timestep_with_subcycling(
-                    l + 1, t_level + i * dt_l * w, dt_l * w
-                )
+                if child_pool:
+                    self._timestep_pool(l + 1, t_level + i * dt_l * w, dt_l * w)
+                else:
+                    self._timestep_with_subcycling(
+                        l + 1, t_level + i * dt_l * w, dt_l * w
+                    )
                 ff = self._last_restricted_fluxes
                 if fine_flux_sum is None:
                     fine_flux_sum = {d: w * F for d, F in ff.items()}
@@ -712,13 +947,23 @@ class AMRSimulation(Simulation):
 
             (self._parent_U_old, self._parent_U_new,
              self._parent_t, self._parent_dt) = saved
+            if child_pool:
+                (self._parent_padded_old, self._parent_padded_new) = saved_pad
 
             if self.do_reflux:
                 with prof.region(f"reflux_L{l}"):
-                    self._reflux(l, fluxes, fine_flux_sum, dt_l)
+                    if child_pool:
+                        self._pool_child_reflux_dense(
+                            l, fluxes, fine_flux_sum, dt_l
+                        )
+                    else:
+                        self._reflux(l, fluxes, fine_flux_sum, dt_l)
                     prof.sync(self.level_U[l])
             with prof.region(f"avgdown_L{l}"):
-                self._average_down(l)
+                if child_pool:
+                    self._pool_child_avgdown_dense(l)
+                else:
+                    self._average_down(l)
                 prof.sync(self.level_U[l])
 
         if l > 0:
@@ -728,6 +973,353 @@ class AMRSimulation(Simulation):
             # average-then-restrict
             self._last_restricted_fluxes = restricted_for_parent
 
+    # ------------------------------------------------------- tile-pool levels
+    def _is_pool(self, l: int) -> bool:
+        return 0 < self.sparse_min_level <= l
+
+    @property
+    def _g(self) -> int:
+        return self.ng[0]
+
+    def _pool_opts(self, l: int):
+        """Pool levels run the classic (XLA) flux formulation vmapped over
+        tiles; the Pallas sweep kernels are single-domain programs."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self.level_opts[l], use_pallas=False, fuse_update=False
+        )
+
+    def _get_dense_pad(self, l: int):
+        """Jitted full-layout ghost fill of a dense level (the padded
+        parent consumed by pool-child backdrops)."""
+        key = ("dense_pad", l)
+        if key not in self._pool_jits:
+            grid = self.level_grids[l]
+
+            def pad(U):
+                return fill_ghosts(
+                    U, self.ng, self.problem.bcs, self.layout,
+                    problem=self.problem, grid=grid,
+                )
+
+            self._pool_jits[key] = jax.jit(pad)
+        return self._pool_jits[key]
+
+    def _get_pool_pad(self, l: int):
+        """Jitted ghost fill of pool level l's FULL state at parent-window
+        time theta (backdrop from the parent's padded old/new pair)."""
+        key = ("pool_pad", l)
+        if key not in self._pool_jits:
+            parent_pool = self._is_pool(l - 1)
+            ts = self.tile_shape
+            g = self._g
+            active = self.grid.active_axes
+
+            def pad(U, nbr, org, ps, po, ppad_old, ppad_new, theta):
+                pp = (1.0 - theta) * ppad_old + theta * ppad_new
+                if parent_pool:
+                    bd = tp.make_backdrop_from_pool(pp, ps, po, ts, g, g, active)
+                else:
+                    bd = tp.make_backdrop_from_dense(pp, org, ts, g, g, active)
+                return tp.fill_pool_ghosts(U, nbr, bd, g)
+
+            self._pool_jits[key] = jax.jit(pad)
+        return self._pool_jits[key]
+
+    def _pool_pad_args(self, l: int):
+        st = self.level_pool[l]
+        m = st.meta
+        zero = jnp.zeros((m.capacity,), jnp.int32)
+        zero3 = jnp.zeros((m.capacity, 3), jnp.int32)
+        ps = st.parent_slot if st.parent_slot is not None else zero
+        po = st.parent_off if st.parent_off is not None else zero3
+        return m.nbr_dev, m.origin_dev, ps, po
+
+    def _get_pool_step(self, l: int):
+        """Jitted one-substep hydro advance of pool level l. Returns
+        (U_new, faces_own, faces_restr, stats): faces_own = the level's
+        own time-averaged tile faces [0..t] (the coarse side of refluxing
+        against level l+1); faces_restr = the same restricted to parent
+        resolution (this level's contribution to the parent's register)."""
+        if l in self._pool_step_jits:
+            return self._pool_step_jits[l]
+        parent_pool = self._is_pool(l - 1)
+        ts = self.tile_shape
+        g = self._g
+        active = self.grid.active_axes
+        opts = self._pool_opts(l)
+        nh = self.layout.nvar_hydro
+        strang = self._strang if self._strang_active else None
+
+        def step(U_pool, nbr, org, ps, po, amask, ppad_old, ppad_new,
+                 th1, th2, dt):
+            def backdrop(theta):
+                pp = (1.0 - theta) * ppad_old + theta * ppad_new
+                pph = pp[:, :nh] if parent_pool else pp[:nh]
+                if parent_pool:
+                    return tp.make_backdrop_from_pool(
+                        pph, ps, po, ts, g, g, active
+                    )
+                return tp.make_backdrop_from_dense(pph, org, ts, g, g, active)
+
+            def fill1(Up):
+                return tp.fill_pool_ghosts(Up, nbr, backdrop(th1), g)
+
+            def fill2(Up):
+                return tp.fill_pool_ghosts(Up, nbr, backdrop(th2), g)
+
+            ok = jnp.asarray(True)
+            if strang is not None:
+                U_pool, ok1 = jax.vmap(lambda u: strang(u, 0.5 * dt))(U_pool)
+                ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, ok1, True)))
+            Uh_new, stats = pa.advance_pool_hydro_rk2(
+                U_pool[:, :nh], dt, opts, fill1, fill2, nbr,
+                return_fluxes=True,
+            )
+            U_new = (
+                jnp.concatenate([Uh_new, U_pool[:, nh:]], axis=1)
+                if nh < U_pool.shape[1] else Uh_new
+            )
+            if strang is not None:
+                U_new, ok2 = jax.vmap(lambda u: strang(u, 0.5 * dt))(U_new)
+                ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, ok2, True)))
+            fluxes = stats.pop("fluxes")
+            sig = jax.vmap(
+                lambda u: jnp.max(euler.max_signal_speed(u, opts.eos))
+            )(U_new[:, :nh])
+            smax = jnp.max(jnp.where(amask, sig, 0.0))
+            fin = jax.vmap(lambda u: jnp.all(jnp.isfinite(u)))(U_new)
+            ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, fin, True)))
+            faces_own = pa.slice_tile_faces(fluxes, g, ts)
+            faces_restr = pa.restrict_tile_faces(faces_own, active)
+            return U_new, faces_own, faces_restr, {
+                "max_signal": smax, "valid": ok, **stats
+            }
+
+        jitted = jax.jit(step)
+        self._pool_step_jits[l] = jitted
+        return jitted
+
+    # ---- pool reflux / average-down (level l against a pool child l+1)
+    def _pool_child_reflux_dense(self, l: int, F_crse: dict,
+                                 F_fine_pool_sum: dict, dt_c: float):
+        """Dense level l refluxed against a pool child: assemble the
+        child's restricted tile faces into dense face arrays and reuse the
+        dense reflux kernel."""
+        st = self.level_pool[l + 1]
+        # fine_faces_to_dense closes over host metadata (tile index
+        # arrays); jit per regrid epoch via meta identity
+        F_fine = self._pool_jits.get(("ffd", l + 1, id(st.meta)))
+        if F_fine is None:
+            meta = st.meta
+            ngt = tuple(self.ng)
+            fn = jax.jit(lambda Fp: sp.fine_faces_to_dense(Fp, meta, ngt))
+            self._pool_jits[("ffd", l + 1, id(st.meta))] = fn
+            F_fine = fn
+        F_fine_dense = F_fine(F_fine_pool_sum)
+        # reuse the dense reflux kernel with the pool's coverage mask
+        self._reflux_with_mask(l, F_crse, F_fine_dense, dt_c,
+                               st.coverage_dense())
+
+    def _reflux_with_mask(self, l: int, F_crse: dict, F_fine_sum: dict,
+                          dt_c: float, mask_fine):
+        """The dense `_reflux` body with an explicit fine mask."""
+        if l not in self._reflux_jits:
+            self._reflux(l, F_crse, F_fine_sum, dt_c, _build_only=True)
+        self.level_U[l] = self._reflux_jits[l](
+            self.level_U[l], mask_fine, F_crse, F_fine_sum,
+            jnp.asarray(dt_c, self.level_U[l].dtype),
+        )
+
+    def _pool_child_avgdown_dense(self, l: int):
+        """Dense level l overwritten with restricted pool-child data."""
+        st = self.level_pool[l + 1]
+        key = ("avgdown_dense_parent", l, id(st.meta))
+        if key not in self._pool_jits:
+            meta = st.meta
+            active = self.grid.active_axes
+            opts = self.level_opts[l]
+            tsc = tuple(t // 2 for t in meta.tile_shape)
+            TX, TY, TZ = meta.tiles_shape
+            ijk = meta.ijk[: meta.n_active]
+            lin = jnp.asarray((ijk[:, 0] * TY + ijk[:, 1]) * TZ + ijk[:, 2])
+            n_act = meta.n_active
+
+            def fn(U, U_child):
+                restr = jax.vmap(lambda u: ops.restrict(u, active))(
+                    U_child[:n_act]
+                )
+                nv = U.shape[0]
+                blocks = U.reshape(nv, TX, tsc[0], TY, tsc[1], TZ, tsc[2])
+                blocks = jnp.moveaxis(blocks, (1, 3, 5), (0, 1, 2))
+                flat = blocks.reshape(TX * TY * TZ, nv, *tsc)
+                flat = flat.at[lin].set(restr)
+                blocks = flat.reshape(TX, TY, TZ, nv, *tsc)
+                blocks = jnp.moveaxis(blocks, (0, 1, 2), (1, 3, 5))
+                U = blocks.reshape(U.shape)
+                return euler.enforce_limits(
+                    U, opts.eos, opts.density_floor, opts.temperature_floor,
+                    opts.n_scalars,
+                )
+
+            self._pool_jits[key] = jax.jit(fn)
+        self.level_U[l] = self._pool_jits[key](
+            self.level_U[l], self.level_pool[l + 1].U
+        )
+
+    def _pool_child_reflux_pool(self, l: int, faces_own: dict,
+                                F_fine_pool_sum: dict, dt_c: float):
+        """Pool level l refluxed against its pool child."""
+        st = self.level_pool[l]
+        child = self.level_pool[l + 1]
+        key = ("reflux_pool_parent", l)
+        if key not in self._pool_jits:
+            ts = self.tile_shape
+            dx = self.level_opts[l].dx
+            rad_fix = self._rad_fixup_pool
+
+            def fn(U, faces_own, F_pool, child_slots, nbr, dt_c):
+                F_fine = tp.assemble_children_faces(
+                    F_pool, child_slots, nbr, ts
+                )
+                U = pa.reflux_pool_parent(
+                    U, faces_own, F_fine, child_slots, nbr, dt_c, dx, ts
+                )
+                return rad_fix(U)
+
+            self._pool_jits[key] = jax.jit(fn)
+        # the child fluxes live on the CHILD pool; gather them onto the
+        # parent's octants inside the jit via child_slots
+        st.U = self._pool_jits[key](
+            st.U, faces_own, F_fine_pool_sum, st.child_slots,
+            st.meta.nbr_dev, jnp.asarray(dt_c, st.U.dtype),
+        )
+
+    def _rad_fixup_pool(self, U):
+        if not self.layout.radiation_enabled or self._radiation is None:
+            return U
+        rs = self.layout.rad_start
+        G = self.layout.n_groups
+        floor = self._radiation.opts.erad_floor
+        R = U[:, rs:].reshape(U.shape[0], G, 4, *U.shape[2:])
+        R = R.at[:, :, 0].set(jnp.maximum(R[:, :, 0], floor))
+        return U.at[:, rs:].set(R.reshape(U.shape[0], G * 4, *U.shape[2:]))
+
+    def _pool_child_avgdown_pool(self, l: int):
+        st = self.level_pool[l]
+        child = self.level_pool[l + 1]
+        key = ("avgdown_pool_parent", l)
+        if key not in self._pool_jits:
+            active = self.grid.active_axes
+            opts = self.level_opts[l]
+
+            def fn(U, U_child, child_slots):
+                U = tp.average_down_into_pool(U, U_child, child_slots, active)
+                return jax.vmap(
+                    lambda u: euler.enforce_limits(
+                        u, opts.eos, opts.density_floor,
+                        opts.temperature_floor, opts.n_scalars,
+                    )
+                )(U)
+
+            self._pool_jits[key] = jax.jit(fn)
+        st.U = self._pool_jits[key](st.U, child.U, st.child_slots)
+
+    # ------------------------------------------------- tile-pool subcycling
+    def _timestep_pool(self, l: int, t_level: float, dt_l: float):
+        """One substep of pool level l (the pool branch of
+        `_timestep_with_subcycling`); requires `self._parent_padded_old/
+        _new` (the parent's ghost-padded endpoint states) to be stashed by
+        the caller."""
+        if (
+            l < self.max_level
+            and self.level_steps[l] > 0
+            and self.level_steps[l] % self.regrid_interval == 0
+        ):
+            self._regrid_level(l)
+
+        from ..utils.profiler import prof
+
+        st = self.level_pool[l]
+        U_old = st.U
+        dtype = U_old.dtype
+        theta1 = (t_level - self._parent_t) / self._parent_dt
+        theta2 = theta1 + dt_l / self._parent_dt
+        nbr, org, ps, po = self._pool_pad_args(l)
+        amask = self._pool_active_mask(l)
+        step = self._get_pool_step(l)
+        with prof.region(f"hydro_P{l}"):
+            U_new, faces_own, faces_restr, stats = step(
+                U_old, nbr, org, ps, po, amask,
+                self._parent_padded_old, self._parent_padded_new,
+                jnp.asarray(theta1, dtype), jnp.asarray(theta2, dtype),
+                jnp.asarray(dt_l, dtype),
+            )
+            prof.sync(U_new)
+        if hasattr(self, "_substep_valid_flags"):
+            self._substep_valid_flags.append(stats["valid"])
+
+        if self.layout.radiation_enabled and self._radiation is not None:
+            radp = self._get_pool_rad(l)
+            with prof.region(f"rad_P{l}"):
+                U_new, rad_own, rad_restr = radp.subcycle(
+                    U_new, t_level, dt_l, nbr, org, ps, po, amask,
+                    self._parent_padded_old, self._parent_padded_new,
+                    theta1, theta2,
+                )
+                prof.sync(U_new)
+            faces_own = {
+                d: jnp.concatenate([faces_own[d], rad_own[d]], axis=1)
+                for d in faces_own
+            }
+            faces_restr = {
+                d: jnp.concatenate([faces_restr[d], rad_restr[d]], axis=1)
+                for d in faces_restr
+            }
+
+        st.U = U_new
+        self.level_steps[l] += 1
+        self.cell_updates += st.meta.active_cells
+        self.cell_updates_raw += st.meta.active_cells
+
+        if l < self.finest_level:
+            pad = self._get_pool_pad(l)
+            ppo, ppn = self._parent_padded_old, self._parent_padded_new
+            pad_old = pad(U_old, nbr, org, ps, po, ppo, ppn,
+                          jnp.asarray(theta1, dtype))
+            pad_new = pad(U_new, nbr, org, ps, po, ppo, ppn,
+                          jnp.asarray(theta2, dtype))
+            saved = (ppo, ppn, self._parent_t, self._parent_dt)
+            self._parent_padded_old = pad_old
+            self._parent_padded_new = pad_new
+            self._parent_t = t_level
+            self._parent_dt = dt_l
+
+            n_fine = 2 if self.do_subcycle else 1
+            w = 1.0 / n_fine
+            fine_sum = None
+            for i in range(n_fine):
+                self._timestep_pool(l + 1, t_level + i * dt_l * w, dt_l * w)
+                ff = self._last_restricted_fluxes
+                if fine_sum is None:
+                    fine_sum = {d: w * F for d, F in ff.items()}
+                else:
+                    fine_sum = {d: fine_sum[d] + w * ff[d] for d in ff}
+
+            (self._parent_padded_old, self._parent_padded_new,
+             self._parent_t, self._parent_dt) = saved
+
+            if self.do_reflux:
+                with prof.region(f"reflux_P{l}"):
+                    self._pool_child_reflux_pool(l, faces_own, fine_sum, dt_l)
+                    prof.sync(self.level_pool[l].U)
+            with prof.region(f"avgdown_P{l}"):
+                self._pool_child_avgdown_pool(l)
+                prof.sync(self.level_pool[l].U)
+
+        self._last_restricted_fluxes = faces_restr
+
     # ------------------------------------------------------------ diagnostics
     def _active_cells(self, l: int) -> int:
         """Active (mask=True) cell count at level l, cached per regrid.
@@ -735,6 +1327,8 @@ class AMRSimulation(Simulation):
         ``cellUpdatesEachLevel_``, src/simulation.hpp:972-980)."""
         if l == 0:
             return self.level_grids[0].num_cells
+        if self._is_pool(l):
+            return self.level_pool[l].meta.active_cells
         c = self._active_cell_cache.get(l)
         if c is None:
             c = int(jnp.sum(self.level_mask[l]))
@@ -749,31 +1343,59 @@ class AMRSimulation(Simulation):
         the average-down invariant), this also sees fine-level-only
         corruption that average-down would launder into the coarse sum."""
         finest = self.finest_level
+        dense_top = min(finest, self.sparse_min_level - 1)
         key = finest
         if not hasattr(self, "_compsum_jits"):
             self._compsum_jits: Dict[int, Callable] = {}
         if key not in self._compsum_jits:
             active = self.grid.active_axes
+            ts = self.tile_shape
             vols = [self.level_grids[l].cell_volume() for l in range(finest + 1)]
 
-            def compsum_fn(Us, masks):
+            def compsum_fn(Us, masks, cov_pool_top, pools, pmasks, childs):
                 total = None
-                for l in range(finest + 1):
+                for l in range(dense_top + 1):
                     w = (jnp.ones(Us[l].shape[1:], bool) if l == 0
                          else masks[l])
                     if l < finest:
-                        covered = ops.restrict_mask_any(masks[l + 1], active)
+                        if l == dense_top:
+                            covered = cov_pool_top  # pool child's coverage
+                        else:
+                            covered = ops.restrict_mask_any(masks[l + 1], active)
                         w = w & jnp.logical_not(covered)
                     part = jnp.sum(
                         jnp.where(w[None], Us[l], 0.0), axis=(1, 2, 3)
                     ) * vols[l]
                     total = part if total is None else total + part
+                for i, l in enumerate(range(dense_top + 1, finest + 1)):
+                    cov = tp.coverage_cells(childs[i], ts)
+                    w = pmasks[i][:, None, None, None] & ~cov
+                    part = jnp.sum(
+                        jnp.where(w[:, None], pools[i], 0.0),
+                        axis=(0, 2, 3, 4),
+                    ) * vols[l]
+                    total = part if total is None else total + part
                 return total
 
             self._compsum_jits[key] = jax.jit(compsum_fn)
+        pool_lvls = list(range(dense_top + 1, finest + 1))
+        cov_top = None
+        if pool_lvls:
+            st_top = self.level_pool[pool_lvls[0]]
+            cov_top = ops.restrict_mask_any(st_top.coverage_dense(),
+                                            self.grid.active_axes)
+        childs = []
+        for l in pool_lvls:
+            st = self.level_pool[l]
+            childs.append(st.child_slots if st.child_slots is not None
+                          else st.no_children())
         return self._compsum_jits[key](
-            tuple(self.level_U[: finest + 1]),
-            tuple(self.level_mask[: finest + 1]),
+            tuple(self.level_U[: dense_top + 1]),
+            tuple(self.level_mask[: dense_top + 1]),
+            cov_top,
+            tuple(self.level_pool[l].U for l in pool_lvls),
+            tuple(self._pool_active_mask(l) for l in pool_lvls),
+            tuple(childs),
         )
 
     def _conservation_audit(self):

@@ -1,0 +1,223 @@
+"""RK2-SSP hydro advance over a tile pool.
+
+Same numerics as `hydro.advance.advance_hydro_rk2`'s classic path (the
+contraction-stable flux formulation), vmapped over the tile axis, with the
+two ghost fills (stage 1 at the substep start time, stage 2 at its end)
+running OUTSIDE the vmap -- they gather across tiles (neighbor slabs +
+parent donors, `tilepool.fill_pool_ghosts`).
+
+FOFC stays branch-free per tile but cond-gated GLOBALLY over the pool: the
+first-order backup sweep and the mask halo fill run only when any tile
+flagged a redo, exactly like the dense path's device-side gating. The redo
+mask lives on real tile cells only (reference semantics: redoFlag is
+defined on patch cells, ``src/QuokkaSimulation.hpp:1144-1184``; the
+dense-mask path additionally flags prolonged backdrop cells).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..hydro import euler
+from ..hydro.advance import (
+    HydroOptions,
+    _blend_fofc,
+    add_internal_energy_pdv,
+    compute_fluxes,
+    rhs_from_fluxes,
+)
+from ..stencil import interior
+from . import tilepool as tp
+
+
+def _fluxes_of(Ug_pool, opts: HydroOptions, first_order: bool = False):
+    return jax.vmap(lambda ug: compute_fluxes(ug, opts, first_order))(Ug_pool)
+
+
+def advance_pool_hydro_rk2(
+    U_pool: jnp.ndarray,
+    dt,
+    opts: HydroOptions,
+    fill1: Callable[[jnp.ndarray], jnp.ndarray],
+    fill2: Callable[[jnp.ndarray], jnp.ndarray],
+    nbr: jnp.ndarray,
+    return_fluxes: bool = False,
+) -> Tuple[jnp.ndarray, Dict]:
+    """One RK2-SSP hydro step of every tile in the pool.
+
+    `fill1`/`fill2` map the unpadded pool to ghost-padded tiles (stage-2
+    fills interpolate the parent at the substep END time, the reference's
+    FillPatcher semantics). `nbr` is the pool's 26-direction neighbor
+    table (for the FOFC mask halo). With `return_fluxes`, stats carries
+    the final per-tile time-averaged face fluxes (padded face coords) that
+    feed the parent's flux register."""
+    g = opts.nghost
+    ng3 = (g, g, g)
+    eos = opts.eos
+
+    def apply_pool(Ug_pool, fl, fv, mask_p):
+        def one(u, ug, fls, fvs, m):
+            rhs = rhs_from_fluxes(fls, opts)
+            rhs = add_internal_energy_pdv(rhs, ug, fvs, opts, m)
+            return u + dt * interior(rhs, ng3)
+
+        if mask_p is None:
+            return jax.vmap(
+                lambda u, ug, fls, fvs: one(u, ug, fls, fvs, None)
+            )(U_pool, Ug_pool, fl, fv)
+        return jax.vmap(one)(U_pool, Ug_pool, fl, fv, mask_p)
+
+    def finalize(Up):
+        Up = jax.vmap(
+            lambda u: euler.enforce_limits(
+                u, eos, opts.density_floor, opts.temperature_floor,
+                opts.n_scalars,
+            )
+        )(Up)
+        if opts.use_dual_energy and not eos.is_isothermal:
+            Up = jax.vmap(euler.sync_dual_energy)(Up)
+        return Up
+
+    def stage(Ug0, fl, fv):
+        """Flux application with pool-wide cond-gated masked FOFC."""
+        U_try = apply_pool(Ug0, fl, fv, None)
+        redo = jax.vmap(
+            lambda u: jnp.logical_not(euler.is_state_valid(u, eos))
+        )(U_try)
+        n_redo = jnp.sum(redo)
+
+        def _redo_branch(_):
+            fo_fl, fo_fv = _fluxes_of(Ug0, opts, first_order=True)
+            mask_p = tp.fill_pool_ghosts_like(redo[:, None], nbr, g)[:, 0]
+            fl2, fv2 = jax.vmap(
+                lambda a, b, c, d, m: _blend_fofc(a, b, c, d, m, opts)
+            )(fl, fv, fo_fl, fo_fv, mask_p)
+            return apply_pool(Ug0, fl2, fv2, mask_p), fl2, fv2
+
+        def _clean(_):
+            return U_try, fl, fv
+
+        U_new, flb, fvb = lax.cond(jnp.any(redo), _redo_branch, _clean, None)
+        return finalize(U_new), flb, fvb, n_redo
+
+    # ---- stage 1
+    Ug0 = fill1(U_pool)
+    fl1, fv1 = _fluxes_of(Ug0, opts)
+    U1, fl1b, _, n1 = stage(Ug0, fl1, fv1)
+
+    if opts.rk_order == 1:
+        stats = {"n_fofc": n1}
+        if return_fluxes:
+            stats["fluxes"] = fl1b
+        return U1, stats
+
+    # ---- stage 2: time-averaged flux applied to U0 (Heun / RK2-SSP)
+    Ug1 = fill2(U1)
+    fl2, fv2 = _fluxes_of(Ug1, opts)
+    flA = {d: 0.5 * (fl1b[d] + fl2[d]) for d in fl2}
+    fvA = {d: 0.5 * (fv1[d] + fv2[d]) for d in fv2}
+    U2, flAb, _, n2 = stage(Ug0, flA, fvA)
+
+    stats = {"n_fofc": n1 + n2}
+    if return_fluxes:
+        stats["fluxes"] = flAb
+    return U2, stats
+
+
+def slice_tile_faces(F_pool: Dict[int, jnp.ndarray], g: int,
+                     tile_shape) -> Dict[int, jnp.ndarray]:
+    """Padded-face-coord per-tile fluxes -> interior faces [0..t] inclusive
+    along the flux axis, interior cells transversally."""
+    out = {}
+    for d, F in F_pool.items():
+        idx = [slice(None), slice(None)]
+        for e in range(3):
+            t = tile_shape[e]
+            if e == d:
+                idx.append(slice(g, g + t + 1))
+            else:
+                idx.append(slice(g, g + t))
+        out[d] = F[tuple(idx)]
+    return out
+
+
+def restrict_tile_faces(F_faces: Dict[int, jnp.ndarray],
+                        active_axes) -> Dict[int, jnp.ndarray]:
+    """Per-tile fine face fluxes (faces [0..t] along d) restricted to the
+    parent resolution: even faces along d, 2x2 transverse average --
+    `ops.restrict_face_flux` semantics without the padding bookkeeping."""
+    out = {}
+    for d, F in F_faces.items():
+        cur = F
+        for e in active_axes:
+            ax = cur.ndim - 3 + e
+            n = cur.shape[ax]
+            if e == d:
+                sub = [slice(None)] * cur.ndim
+                sub[ax] = slice(0, n, 2)
+                cur = cur[tuple(sub)]
+            else:
+                shape = list(cur.shape)
+                new_shape = shape[:ax] + [n // 2, 2] + shape[ax + 1:]
+                cur = cur.reshape(new_shape).mean(axis=ax + 1)
+        out[d] = cur
+    return out
+
+
+def reflux_pool_parent(
+    U_parent: jnp.ndarray,
+    F_crse: Dict[int, jnp.ndarray],
+    F_fine: Dict[int, jnp.ndarray],
+    child_slots: jnp.ndarray,
+    parent_nbr: jnp.ndarray,
+    dt_c,
+    dx,
+    tile_shape,
+) -> jnp.ndarray:
+    """Apply the coarse-fine flux mismatch to uncovered parent-tile cells
+    (reference `YAFluxRegister::Reflux`; dense analog
+    `hierarchy._reflux`).
+
+    F_crse[d]: parent tiles' own faces [0..t] along d (from
+    `slice_tile_faces`). F_fine[d]: restricted child fluxes assembled on
+    parent faces (`tilepool.assemble_children_faces`). Boundary faces are
+    those where child coverage flips across the face; coverage is padded
+    1 cell across tile boundaries through the neighbor table."""
+    covf = tp.coverage_cells(child_slots, tile_shape)
+    cov_p = tp.fill_pool_ghosts_like(covf[:, None], parent_nbr, 1)[:, 0]
+
+    def one(u, fc_t, ff_t, cp, covc):
+        corr = None
+        for d in sorted(fc_t):
+            t = tile_shape[d]
+            # cp is padded by 1 on all axes; face f (0..t) along d sits
+            # between padded cells f and f+1, interior transversally
+            lo = [slice(1, 1 + tile_shape[e]) for e in range(3)]
+            hi = list(lo)
+            lo[d] = slice(0, t + 1)
+            hi[d] = slice(1, t + 2)
+            boundary = cp[tuple(lo)] != cp[tuple(hi)]  # faces [0..t]
+            dF = jnp.where(boundary[None], ff_t[d] - fc_t[d], 0.0)
+            n = dF.shape[1 + d]
+            lo_f = [slice(None)] * 3
+            lo_f[d] = slice(0, n - 1)
+            hi_f = [slice(None)] * 3
+            hi_f[d] = slice(1, n)
+            contrib = (
+                dF[(slice(None),) + tuple(lo_f)]
+                - dF[(slice(None),) + tuple(hi_f)]
+            ) * (dt_c / dx[d])
+            corr = contrib if corr is None else corr + contrib
+        nc = corr.shape[0]
+        if nc < u.shape[0]:
+            # flux register covers only the leading components
+            pad = jnp.zeros((u.shape[0] - nc, *corr.shape[1:]), corr.dtype)
+            corr = jnp.concatenate([corr, pad], axis=0)
+        # apply only to uncovered cells (covered ones get averaged down)
+        return u + jnp.where(covc[None], 0.0, corr)
+
+    return jax.vmap(one)(U_parent, F_crse, F_fine, cov_p, covf)

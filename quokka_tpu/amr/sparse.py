@@ -1,0 +1,170 @@
+"""Driver-side integration of tile-pool (sparse) AMR levels.
+
+`PoolState` bundles one pool level's device state + host metadata;
+`PoolOps` builds and caches the jitted per-level programs (advance,
+padding for children, reflux assembly, average-down) that the
+`AMRSimulation` driver dispatches to when a level is pool-represented
+(`amr.sparse_min_level`). Dense and pool levels coexist in one hierarchy:
+dense levels below `sparse_min_level` (where refined volume fractions are
+large), pools above (thin shells, deep cores) -- the reference's
+box-granular BoxArray semantics at every level either way.
+
+jit caching: one `jax.jit` per (level, program) -- capacity-bucket growth
+changes array shapes, which jax retraces transparently; the bucket
+headroom in `TileMeta.grow_capacity` bounds how often.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..boundaries import fill_ghosts
+from ..hydro import euler
+from . import operators as ops
+from . import pool_advance as pa
+from . import tilepool as tp
+
+
+@dataclass
+class PoolState:
+    """One pool level's state: device pool + metadata + parent linkage."""
+
+    meta: tp.TileMeta
+    U: jnp.ndarray                       # [T, nvar, tx, ty, tz]
+    # parent linkage (parent is a pool): slot + octant offset per tile
+    parent_slot: Optional[jnp.ndarray] = None
+    parent_off: Optional[jnp.ndarray] = None
+    # child linkage (this level's tiles -> child-pool slots per octant),
+    # rebuilt when the CHILD level regrids
+    child_slots: Optional[jnp.ndarray] = None
+    # dense coverage mask at this level's resolution (built lazily, only
+    # when the PARENT is dense and needs it for refluxing)
+    cov_dense: Optional[jnp.ndarray] = None
+
+    def coverage_dense(self) -> jnp.ndarray:
+        if self.cov_dense is None:
+            self.cov_dense = tp.coverage_mask_dense(self.meta)
+        return self.cov_dense
+
+    def no_children(self) -> jnp.ndarray:
+        return jnp.full((self.meta.capacity, 2, 2, 2), -1, jnp.int32)
+
+
+def prolong_tiles_from_dense(parent_padded, origin_dev, tile_shape,
+                             gp, active_axes):
+    """Tile interiors prolonged from a dense padded parent (new-tile data
+    at regrid; `make_backdrop_from_dense` with zero fine ghosts)."""
+    hc = 1
+    nv = parent_padded.shape[0]
+    sizes = (nv,) + tuple(t // 2 + 2 * hc for t in tile_shape)
+
+    def donor(o):
+        z = jnp.zeros((), o.dtype)
+        start = (z,) + tuple(o[d] // 2 - hc + gp for d in range(3))
+        return lax.dynamic_slice(parent_padded, start, sizes)
+
+    donors = jax.vmap(donor)(origin_dev)
+    fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
+    sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
+    return fine[(slice(None), slice(None)) + sl]
+
+
+def prolong_tiles_from_pool(parent_padded_pool, parent_slot, parent_off,
+                            tile_shape, gp, active_axes):
+    hc = 1
+    nv = parent_padded_pool.shape[1]
+    sizes = (nv,) + tuple(t // 2 + 2 * hc for t in tile_shape)
+
+    def donor(slot, off):
+        tile = parent_padded_pool[jnp.maximum(slot, 0)]
+        z = jnp.zeros((), off.dtype)
+        start = (z,) + tuple(off[d] - hc + gp for d in range(3))
+        return lax.dynamic_slice(tile, start, sizes)
+
+    donors = jax.vmap(donor)(parent_slot, parent_off)
+    fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
+    sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
+    return fine[(slice(None), slice(None)) + sl]
+
+
+def _unblock(flat: jnp.ndarray, grid, tile) -> jnp.ndarray:
+    """[G0*G1*G2, nc, *tile] block pool -> dense [nc, G0*t0, G1*t1, G2*t2]."""
+    nc = flat.shape[1]
+    b = flat.reshape(*grid, nc, *tile)
+    b = jnp.moveaxis(b, (0, 1, 2), (1, 3, 5))
+    return b.reshape(nc, grid[0] * tile[0], grid[1] * tile[1], grid[2] * tile[2])
+
+
+def fine_faces_to_dense(F_restr: Dict[int, jnp.ndarray], meta: tp.TileMeta,
+                        ng: Tuple[int, int, int]) -> Dict[int, jnp.ndarray]:
+    """Assemble a DENSE coarse-level face-flux dict (padded face coords,
+    `ops.restrict_face_flux` layout: interior faces [0..Xc] at slots
+    [g..g+Xc], zero-padded ghost faces) from per-tile restricted child
+    fluxes with faces [0..txc] inclusive.
+
+    A face shared by two adjacent child tiles is computed identically by
+    both (their ghost fills see the same data), so the hi-plane pass only
+    fills faces the lo-side block scatter left untouched."""
+    tsc = tuple(t // 2 for t in meta.tile_shape)   # tile size in coarse cells
+    TX, TY, TZ = meta.tiles_shape                  # block grid == tile grid
+    Xc = (TX * tsc[0], TY * tsc[1], TZ * tsc[2])
+    ijk = meta.ijk[: meta.n_active]
+    lin = jnp.asarray((ijk[:, 0] * TY + ijk[:, 1]) * TZ + ijk[:, 2])
+    out = {}
+    for d, F in F_restr.items():
+        nc = F.shape[1]
+        Fa = F[: meta.n_active]
+        lead = (slice(None), slice(None))
+        # (1) faces [0..tsc) of each tile -> block scatter -> dense
+        lo_sl = [slice(None)] * 3
+        lo_sl[d] = slice(0, tsc[d])
+        flat = jnp.zeros((TX * TY * TZ, nc, *tsc), F.dtype)
+        flat = flat.at[lin].set(Fa[lead + tuple(lo_sl)])
+        dense_lo = _unblock(flat, (TX, TY, TZ), tsc)
+        face_shape = list(Xc)
+        face_shape[d] += 1
+        full = jnp.zeros((nc, *face_shape), F.dtype)
+        inner = [slice(None)] * 3
+        inner[d] = slice(0, Xc[d])
+        full = full.at[(slice(None),) + tuple(inner)].set(dense_lo)
+        # (2) each tile's hi plane (face tsc) -> the +1 block's lo face on
+        # a grid extended along d (so the hi domain-edge face survives,
+        # matching restrict_face_flux's inclusive [0..Xc] slice)
+        grid1 = [TX, TY, TZ]
+        grid1[d] += 1
+        plane = [tsc[0], tsc[1], tsc[2]]
+        plane[d] = 1
+        hi_sl = [slice(None)] * 3
+        hi_sl[d] = slice(tsc[d], tsc[d] + 1)
+        planes = jnp.zeros((grid1[0] * grid1[1] * grid1[2], nc, *plane), F.dtype)
+        ijk1 = ijk.copy()
+        ijk1[:, d] += 1
+        lin1 = jnp.asarray(
+            (ijk1[:, 0] * grid1[1] + ijk1[:, 1]) * grid1[2] + ijk1[:, 2]
+        )
+        planes = planes.at[lin1].set(Fa[lead + tuple(hi_sl)])
+        pdense = _unblock(planes, tuple(grid1), tuple(plane))
+        # (3) strided merge at face positions b*tsc[d]: keep the lo-side
+        # value where a tile already wrote it (equal values either way)
+        stride = [slice(None)] * 3
+        stride[d] = slice(0, Xc[d] + 1, tsc[d])
+        cur = full[(slice(None),) + tuple(stride)]
+        full = full.at[(slice(None),) + tuple(stride)].set(
+            jnp.where(cur != 0.0, cur, pdense)
+        )
+        # pad into coarse padded face coords like restrict_face_flux
+        pad = [(0, 0)]
+        for e in range(3):
+            ge = ng[e]
+            if e == d:
+                pad.append((ge, max(ge - 1, 0)))
+            else:
+                pad.append((ge, ge))
+        out[d] = jnp.pad(full, pad)
+    return out

@@ -1,0 +1,233 @@
+"""Radiation subcycling on tile-pool AMR levels.
+
+Pool analog of `advance.LevelRadiation` (reference
+`QuokkaSimulation::subcycleRadiationAtLevel`,
+``src/QuokkaSimulation.hpp:1577-1650``): the IMEX PD-ARS substep runs
+vmapped over the tile axis, with the per-stage ghost fills (radiation
+components only -- transport never reads hydro ghosts) assembled by the
+pool fill machinery: neighbor-tile gathers + prolongation of the parent's
+padded endpoint states lerped to the stage time. Source coupling is
+pointwise and needs no ghosts; per-tile radiation energy sources evaluate
+the problem hook on a `TileGridView` (traced tile-origin coordinates).
+
+The time-averaged transport fluxes are returned both at the level's own
+resolution (faces [0..t] per tile -- the coarse side of refluxing against
+a child pool) and restricted to the parent's resolution (this level's
+contribution to the parent's flux register), mirroring how the dense
+driver concatenates radiation components into the hydro register
+(reference YAFluxRegister covers ncompHyperbolic_ components).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..amr import pool_advance as pa
+from ..amr import tilepool as tp
+from ..stencil import interior
+from .source_terms import add_source_terms_single_group
+from .system import add_fluxes_rk2, compute_rad_fluxes, predict_step, rad_div_fluxes
+
+
+class TileGridView:
+    """Grid-like coordinate view of one tile for per-tile problem hooks
+    (duck-types the `Grid` surface those hooks read: prob_lo/hi, n_cell,
+    dx, cell_centers, cell_center_mesh). `origin` is a traced int32[3]."""
+
+    def __init__(self, level_grid, origin, tile_shape):
+        self.prob_lo = level_grid.prob_lo
+        self.prob_hi = level_grid.prob_hi
+        self.dx = level_grid.dx
+        self.n_cell = tuple(tile_shape)
+        self._origin = origin
+
+    def cell_centers(self, axis: int, dtype=jnp.float64):
+        lo, dx, n = self.prob_lo[axis], self.dx[axis], self.n_cell[axis]
+        return lo + (self._origin[axis] + jnp.arange(n, dtype=dtype) + 0.5) * dx
+
+    def cell_center_mesh(self, dtype=jnp.float64):
+        x = self.cell_centers(0, dtype).reshape(-1, 1, 1)
+        y = self.cell_centers(1, dtype).reshape(1, -1, 1)
+        z = self.cell_centers(2, dtype).reshape(1, 1, -1)
+        return x, y, z
+
+
+class PoolLevelRadiation:
+    """Radiation subcycle for one POOL level."""
+
+    def __init__(self, sim, level: int, grid):
+        self.sim = sim
+        self.level = level
+        self.grid = grid
+        base = sim._radiation.opts if getattr(sim, "_radiation", None) else None
+        if base is None:
+            raise RuntimeError("PoolLevelRadiation requires RadiationAdvance")
+        # pool tiles run the XLA transport formulation under vmap
+        self.opts = dataclasses.replace(base, use_pallas=False)
+        self.rad_start = sim.layout.rad_start
+        self._build()
+
+    def _build(self):
+        sim = self.sim
+        opts = self.opts
+        grid = self.grid
+        rad_start = self.rad_start
+        ts = sim.tile_shape
+        g = sim._g
+        ng3 = (g, g, g)
+        dx = grid.dx
+        active = grid.active_axes
+        eos = sim.eos
+        problem = sim.problem
+        G = opts.n_groups
+        multigroup = G > 1
+        parent_pool = sim._is_pool(self.level - 1)
+        kappa_p = problem.compute_planck_opacity
+        kappa_e = problem.compute_energy_mean_opacity
+        kappa_f = problem.compute_flux_mean_opacity
+        boundaries = tuple(problem.rad.group_edges) if problem.rad.group_edges \
+            else (0.0, float("inf"))
+        kB = problem.eos_traits.boltzmann_constant
+
+        def rad_part(U):
+            return U[:, rad_start:].reshape(U.shape[0], G, 4, *U.shape[2:])
+
+        def with_rad(U, R):
+            return U.at[:, rad_start:].set(
+                R.reshape(U.shape[0], G * 4, *U.shape[2:])
+            )
+
+        def source_update(U, rad_src, dt, stage):
+            if multigroup:
+                from .multigroup import add_source_terms_multi_group
+
+                def one(u, rs):
+                    return add_source_terms_multi_group(
+                        u, rs, dt, stage, opts, eos, problem, rad_start,
+                        boundaries, kB,
+                    )
+            else:
+                def one(u, rs):
+                    return add_source_terms_single_group(
+                        u, rs, dt, stage, opts, eos,
+                        kappa_p, kappa_e, kappa_f, rad_start,
+                    )
+
+            U2, tel = jax.vmap(one)(U, rad_src)
+            return U2, tel
+
+        def substep(U, nbr, org, ps, po, ppad_old, ppad_new,
+                    th_a, th_b, time, dt):
+            dt = jnp.asarray(dt, U.dtype)
+            time = jnp.asarray(time, U.dtype)
+
+            def rad_src_of(o):
+                gv = TileGridView(grid, o, ts)
+                src = jnp.asarray(
+                    problem.set_radiation_energy_source(gv, time), U.dtype
+                )
+                if multigroup and src.ndim == 3:
+                    src = jnp.broadcast_to(src[None], (G, *src.shape)) / G
+                return src
+
+            rad_src = jax.vmap(rad_src_of)(org)
+
+            def fill(Up_rad, theta):
+                pp = (1.0 - theta) * ppad_old + theta * ppad_new
+                ppr = (pp[:, rad_start:] if parent_pool
+                       else pp[rad_start:])
+                if parent_pool:
+                    bd = tp.make_backdrop_from_pool(
+                        ppr, ps, po, ts, g, g, active
+                    )
+                else:
+                    bd = tp.make_backdrop_from_dense(
+                        ppr, org, ts, g, g, active
+                    )
+                return tp.fill_pool_ghosts(Up_rad, nbr, bd, g)
+
+            def transport_fluxes(Ug_rad):
+                return jax.vmap(
+                    lambda ug: compute_rad_fluxes(ug, 0, opts, active, dx)
+                )(Ug_rad)
+
+            def div_int(fluxes):
+                return jax.vmap(
+                    lambda fl: interior(rad_div_fluxes(fl, dx), ng3)
+                )(fluxes)
+
+            Ug0 = fill(U[:, rad_start:], th_a)
+            fluxes0 = transport_fluxes(Ug0)
+            divF0 = div_int(fluxes0)
+            R0 = rad_part(U)
+            R1 = jax.vmap(lambda r, d: predict_step(r, d, dt, opts))(R0, divF0)
+            U1 = with_rad(U, R1)
+            U1, _ = source_update(U1, rad_src, dt, 1)
+
+            Ug1 = fill(U1[:, rad_start:], th_b)
+            fluxes1 = transport_fluxes(Ug1)
+            divF1 = div_int(fluxes1)
+            R_new = jax.vmap(
+                lambda r0, r1, d0, d1: add_fluxes_rk2(r0, r1, d0, d1, dt, opts)
+            )(R0, rad_part(U1), divF0, divF1)
+            U2 = with_rad(U1, R_new)
+            U2, _ = source_update(U2, rad_src, dt, 2)
+
+            eff = {
+                d: (0.5 * (fluxes0[d] + fluxes1[d])).reshape(
+                    U.shape[0], 4 * G, *fluxes0[d].shape[3:]
+                )
+                for d in fluxes0
+            }
+            return U2, eff
+
+        self._substep = jax.jit(substep)
+
+        def finalize_faces(flux_sum):
+            own = pa.slice_tile_faces(flux_sum, g, ts)
+            restr = pa.restrict_tile_faces(own, active)
+            return own, restr
+
+        self._finalize = jax.jit(finalize_faces)
+
+    def n_substeps(self, dt_level: float) -> int:
+        sim = self.sim
+        if not sim.layout.hydro_enabled or sim.constant_dt > 0.0:
+            return 1
+        dt_rad = self.opts.cfl * self.grid.dx_min / self.opts.chat
+        n = max(1, int(math.ceil(dt_level / dt_rad)))
+        if n > self.opts.max_substeps + 1:
+            raise RuntimeError(
+                f"radiation substeps {n} exceeds max_substeps="
+                f"{self.opts.max_substeps}"
+            )
+        return n
+
+    def subcycle(self, U, time: float, dt_level: float, nbr, org, ps, po,
+                 amask, ppad_old, ppad_new, th0: float, th1: float
+                 ) -> Tuple[jnp.ndarray, Dict, Dict]:
+        """Advance the pool's radiation by dt_level; returns
+        (U, own-resolution time-avg faces, parent-restricted faces)."""
+        nsub = self.n_substeps(dt_level)
+        dt_r = dt_level / nsub
+        dtype = U.dtype
+        flux_sum = None
+        for i in range(nsub):
+            th_a = th0 + (th1 - th0) * (i / nsub)
+            th_b = th0 + (th1 - th0) * ((i + 1) / nsub)
+            U, eff = self._substep(
+                U, nbr, org, ps, po, ppad_old, ppad_new,
+                jnp.asarray(th_a, dtype), jnp.asarray(th_b, dtype),
+                time + i * dt_r, dt_r,
+            )
+            if flux_sum is None:
+                flux_sum = {d: F / nsub for d, F in eff.items()}
+            else:
+                flux_sum = {d: flux_sum[d] + F / nsub for d, F in eff.items()}
+        own, restr = self._finalize(flux_sum)
+        return U, own, restr

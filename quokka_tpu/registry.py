@@ -175,6 +175,18 @@ class Problem:
     def error_est(self, sim, level: int):
         return None
 
+    def error_est_local(self, U_padded, grid, level: int, origin):
+        """Tile-local refinement tagging for tile-pool AMR levels
+        (`amr.sparse_min_level`): called under vmap with one tile's
+        ghost-PADDED state [nvar, tx+2g, ty+2g, tz+2g], the LEVEL grid,
+        and the tile's cell-origin [3] (traced int32). Must return a bool
+        tag array over the full padded extent (the driver dilates by
+        n_error_buf and trims, so cross-tile tag buffering is exact)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no error_est_local hook "
+            "(required for tile-pool levels above amr.sparse_min_level)"
+        )
+
     def external_acceleration(self, grid):
         """Static external acceleration field g[3, nx, ny, nz] (e.g. the
         constant gravity of the Rayleigh-Taylor setups); None disables."""
