@@ -103,22 +103,31 @@ class PoolLevelRadiation:
             )
 
         def source_update(U, rad_src, dt, stage):
+            # the coupling is pointwise: flatten the tile axis into x and
+            # call the solver ONCE -- vmap's batching transform shifts FMA
+            # contraction sites (~1 ulp vs the dense path), while the flat
+            # call is bitwise-identical to the dense level's
+            T = U.shape[0]
+            nv = U.shape[1]
+            tx, ty, tz = U.shape[2:]
+            Uf = jnp.moveaxis(U, 0, 1).reshape(nv, T * tx, ty, tz)
+            if multigroup and rad_src.ndim == 5:
+                rf = jnp.moveaxis(rad_src, 0, 1).reshape(G, T * tx, ty, tz)
+            else:
+                rf = rad_src.reshape(T * tx, ty, tz)
             if multigroup:
                 from .multigroup import add_source_terms_multi_group
 
-                def one(u, rs):
-                    return add_source_terms_multi_group(
-                        u, rs, dt, stage, opts, eos, problem, rad_start,
-                        boundaries, kB,
-                    )
+                U2f, tel = add_source_terms_multi_group(
+                    Uf, rf, dt, stage, opts, eos, problem, rad_start,
+                    boundaries, kB,
+                )
             else:
-                def one(u, rs):
-                    return add_source_terms_single_group(
-                        u, rs, dt, stage, opts, eos,
-                        kappa_p, kappa_e, kappa_f, rad_start,
-                    )
-
-            U2, tel = jax.vmap(one)(U, rad_src)
+                U2f, tel = add_source_terms_single_group(
+                    Uf, rf, dt, stage, opts, eos,
+                    kappa_p, kappa_e, kappa_f, rad_start,
+                )
+            U2 = jnp.moveaxis(U2f.reshape(nv, T, tx, ty, tz), 1, 0)
             return U2, tel
 
         def substep(U, nbr, org, ps, po, ppad_old, ppad_new,
