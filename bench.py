@@ -136,38 +136,50 @@ def run_weak(base, steps):
     return per1, perN, perN / per1, tiles
 
 
-def run_amr_shell(n, max_level, steps):
-    """AMR radhydro-shell FOM (the reference's strong-scaling benchmark
-    configuration, ``paper/strong_scaling.csv``: shell + 2 AMR levels).
-    Dense-mask AMR advances full-domain arrays per level, so the FOM
-    counts every level's cell updates, like the reference's
-    ``cellUpdatesEachLevel_``. Default 64^3 + 1 refinement level (finest
-    128^3): the reference runs shell 256^3 + 2 levels over FOUR V100s
-    (``paper/strong_scaling.csv``) -- with dense full-domain levels the
-    single-chip analog holds the per-device footprint, not the global
-    one (256^3-finest dense hierarchies exceed one chip's HBM, and the
-    shell is not resolved at 32^3-base in f32)."""
+def run_amr_shell(n, max_level, steps, sparse=True):
+    """AMR radhydro-shell FOM on the REFERENCE benchmark configuration
+    (shell 256^3 base + 2 refinement levels, ``paper/strong_scaling.csv:2``,
+    deck ``tests/radhydro_shell_amr.in``), single chip.
+
+    Levels >= 1 are tile pools (``amr.sparse_min_level``): the refined
+    shell is a thin spherical region, so the dense-mask representation's
+    full-domain fine levels would exceed one chip's HBM at the 1024^3
+    finest extent; pools hold only real tiles and `cell_updates` counts
+    only their cells -- the FOM is ACTIVE-cell-updates/s, directly
+    comparable to the reference's `cellUpdatesEachLevel_`-based number
+    (4.95 Mzones/GPU/s on 4x V100)."""
     import time
 
     from quokka_tpu import ParmParse
     from quokka_tpu.amr.hierarchy import AMRSimulation
     from quokka_tpu.problems.radhydro_shell import RadhydroShellProblem
 
+    extra = ""
+    if sparse:
+        extra = (
+            "amr.sparse_min_level = 1\n"
+            "amr.tile_size = 32 32 32\n"
+            "amr.pool_chunk = 16\n"
+            "amr.pool_headroom = 1.15\n"
+        )
     pp = ParmParse.from_string(
         f"""
         geometry.prob_lo = 0.0 0.0 0.0
         geometry.prob_hi = 4.0 4.0 4.0
         amr.n_cell = {n} {n} {n}
         amr.max_level = {max_level}
+        amr.n_error_buf = 3
         do_reflux = 1
         do_subcycle = 1
         cfl = 0.3
         radiation.cfl = 0.3
+        radiation.max_substeps = 64
         density_floor = 1.0e-8
         max_timesteps = {steps + 2}
         stop_time = 1.0e10
         verbose = 0
         """
+        + extra
     )
     sim = AMRSimulation(RadhydroShellProblem(), pp, precision="single")
     sim.set_initial_conditions()
@@ -298,11 +310,14 @@ def main():
 
     if os.environ.get("QUOKKA_BENCH_AMR", "1") == "1":
         try:
+            # the REFERENCE benchmark configuration: shell 256^3 + 2
+            # levels (paper/strong_scaling.csv:2), tile-pool fine levels,
+            # ACTIVE-cell-counted FOM
             mz, finest = run_amr_shell(
-                int(os.environ.get("QUOKKA_BENCH_AMR_N", "64")),
-                int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "1")),
+                int(os.environ.get("QUOKKA_BENCH_AMR_N", "256")),
+                int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2")),
                 max(4, STEPS // 2))
-            result["amr_shell_mzones"] = round(mz, 3)
+            result["amr_active_mzones"] = round(mz, 3)
             result["amr_finest_level"] = finest
             result["amr_vs_v100"] = round(mz / 4.95, 4)
         except Exception as e:

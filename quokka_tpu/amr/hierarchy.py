@@ -84,6 +84,14 @@ class AMRSimulation(Simulation):
         self.sparse_min_level = self.pp.get_int("amr.sparse_min_level", 10**9)
         ts = self.pp.get_list("amr.tile_size", [32, 32, 32])
         self.tile_shape = tuple(int(x) for x in ts)
+        # chunked pool execution: advance tiles in lax.map chunks of this
+        # many tiles so no full-pool padded/face array is ever materialized
+        # (0 = whole-pool vmapped programs; required for 1024^3-class fine
+        # levels whose face dicts would exceed HBM)
+        self.pool_chunk = self.pp.get_int("amr.pool_chunk", 0)
+        # capacity-bucket growth factor: larger amortizes recompiles,
+        # smaller trims the HBM footprint of near-capacity pools
+        self.pool_headroom = self.pp.get_float("amr.pool_headroom", 1.5)
         self.level_pool: List[Optional[object]] = [None] * (self.max_level + 1)
         if self.sparse_min_level <= self.max_level:
             if self.sparse_min_level < 1:
@@ -515,6 +523,23 @@ class AMRSimulation(Simulation):
         m = self.level_pool[l].meta
         return jnp.arange(m.capacity) < m.n_active
 
+    def _pool_sharding(self):
+        """Tile-axis sharding over the device mesh (the pool analog of the
+        dense per-level block sharding: tiles are the distribution unit,
+        like AMReX boxes under a DistributionMapping)."""
+        if self.decomp is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(
+            self.decomp.mesh, P(tuple(self.decomp.mesh.axis_names))
+        )
+
+    def _shard_pool(self, l: int):
+        sh = self._pool_sharding()
+        if sh is not None and self.level_pool[l] is not None:
+            self.level_pool[l].U = jax.device_put(self.level_pool[l].U, sh)
+
     def _pool_octant_tags(self, l: int) -> np.ndarray:
         """[T, 2, 2, 2] bool: tagged octants of pool level l's tiles
         (buffered by n_error_buf via exact cross-tile dilation on the
@@ -599,7 +624,20 @@ class AMRSimulation(Simulation):
             return False
 
         old = self.level_pool[l + 1]
-        cap = old.meta.grow_capacity(len(tiles)) if old is not None else None
+        hr = self.pool_headroom
+        if old is not None:
+            cap = old.meta.grow_capacity(len(tiles), headroom=hr)
+        else:
+            cap = max(8, int(np.ceil(len(tiles) * hr)))
+        if self.pool_chunk:
+            # chunked execution maps fixed-size tile chunks: round the
+            # capacity bucket up to a chunk multiple
+            c = self.pool_chunk
+            cap = ((cap + c - 1) // c) * c
+        if self.decomp is not None:
+            # tile-axis sharding: every device owns cap/ndev slots
+            nd = self.decomp.n_devices
+            cap = ((cap + nd - 1) // nd) * nd
         meta = tp.TileMeta.build(child_shape, ts, tiles, self.periodic,
                                  capacity=cap)
 
@@ -632,6 +670,7 @@ class AMRSimulation(Simulation):
         self.level_pool[l + 1] = sp.PoolState(
             meta=meta, U=U_new, parent_slot=ps, parent_off=po
         )
+        self._shard_pool(l + 1)
         if l + 2 <= self.max_level and self.level_pool[l + 2] is not None:
             gc = self.level_pool[l + 2]
             gps, gpo = tp.parent_linkage(gc.meta, meta)
@@ -1036,14 +1075,16 @@ class AMRSimulation(Simulation):
         po = st.parent_off if st.parent_off is not None else zero3
         return m.nbr_dev, m.origin_dev, ps, po
 
-    def _get_pool_step(self, l: int):
+    def _get_pool_step(self, l: int, with_own: bool):
         """Jitted one-substep hydro advance of pool level l. Returns
         (U_new, faces_own, faces_restr, stats): faces_own = the level's
         own time-averaged tile faces [0..t] (the coarse side of refluxing
-        against level l+1); faces_restr = the same restricted to parent
-        resolution (this level's contribution to the parent's register)."""
-        if l in self._pool_step_jits:
-            return self._pool_step_jits[l]
+        against level l+1; None unless `with_own`); faces_restr = the
+        same restricted to parent resolution (this level's contribution
+        to the parent's register)."""
+        key = (l, with_own)
+        if key in self._pool_step_jits:
+            return self._pool_step_jits[key]
         parent_pool = self._is_pool(l - 1)
         ts = self.tile_shape
         g = self._g
@@ -1051,32 +1092,64 @@ class AMRSimulation(Simulation):
         opts = self._pool_opts(l)
         nh = self.layout.nvar_hydro
         strang = self._strang if self._strang_active else None
+        chunk = self.pool_chunk
 
         def step(U_pool, nbr, org, ps, po, amask, ppad_old, ppad_new,
                  th1, th2, dt):
-            def backdrop(theta):
-                pp = (1.0 - theta) * ppad_old + theta * ppad_new
-                pph = pp[:, :nh] if parent_pool else pp[:nh]
-                if parent_pool:
-                    return tp.make_backdrop_from_pool(
-                        pph, ps, po, ts, g, g, active
-                    )
-                return tp.make_backdrop_from_dense(pph, org, ts, g, g, active)
-
-            def fill1(Up):
-                return tp.fill_pool_ghosts(Up, nbr, backdrop(th1), g)
-
-            def fill2(Up):
-                return tp.fill_pool_ghosts(Up, nbr, backdrop(th2), g)
-
             ok = jnp.asarray(True)
             if strang is not None:
                 U_pool, ok1 = jax.vmap(lambda u: strang(u, 0.5 * dt))(U_pool)
                 ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, ok1, True)))
-            Uh_new, stats = pa.advance_pool_hydro_rk2(
-                U_pool[:, :nh], dt, opts, fill1, fill2, nbr,
-                return_fluxes=True,
-            )
+
+            if chunk:
+                def make_backdrop(org_c, ps_c, po_c, pph):
+                    if parent_pool:
+                        return tp.make_backdrop_from_pool(
+                            pph, ps_c, po_c, ts, g, g, active
+                        )
+                    return tp.make_backdrop_from_dense(
+                        pph, org_c, ts, g, g, active
+                    )
+
+                pp1 = (1.0 - th1) * ppad_old + th1 * ppad_new
+                pp2 = (1.0 - th2) * ppad_old + th2 * ppad_new
+                pp1h = pp1[:, :nh] if parent_pool else pp1[:nh]
+                pp2h = pp2[:, :nh] if parent_pool else pp2[:nh]
+                Uh_new, faces_own, faces_restr, stats = (
+                    pa.advance_pool_hydro_rk2_chunked(
+                        U_pool[:, :nh], dt, opts, nbr, org, ps, po,
+                        make_backdrop, pp1h, pp2h, chunk, with_own,
+                        active_axes=active,
+                    )
+                )
+            else:
+                def backdrop(theta):
+                    pp = (1.0 - theta) * ppad_old + theta * ppad_new
+                    pph = pp[:, :nh] if parent_pool else pp[:nh]
+                    if parent_pool:
+                        return tp.make_backdrop_from_pool(
+                            pph, ps, po, ts, g, g, active
+                        )
+                    return tp.make_backdrop_from_dense(
+                        pph, org, ts, g, g, active
+                    )
+
+                def fill1(Up):
+                    return tp.fill_pool_ghosts(Up, nbr, backdrop(th1), g)
+
+                def fill2(Up):
+                    return tp.fill_pool_ghosts(Up, nbr, backdrop(th2), g)
+
+                Uh_new, stats = pa.advance_pool_hydro_rk2(
+                    U_pool[:, :nh], dt, opts, fill1, fill2, nbr,
+                    return_fluxes=True,
+                )
+                fluxes = stats.pop("fluxes")
+                faces_own = pa.slice_tile_faces(fluxes, g, ts)
+                faces_restr = pa.restrict_tile_faces(faces_own, active)
+                if not with_own:
+                    faces_own = None
+
             U_new = (
                 jnp.concatenate([Uh_new, U_pool[:, nh:]], axis=1)
                 if nh < U_pool.shape[1] else Uh_new
@@ -1084,21 +1157,18 @@ class AMRSimulation(Simulation):
             if strang is not None:
                 U_new, ok2 = jax.vmap(lambda u: strang(u, 0.5 * dt))(U_new)
                 ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, ok2, True)))
-            fluxes = stats.pop("fluxes")
             sig = jax.vmap(
                 lambda u: jnp.max(euler.max_signal_speed(u, opts.eos))
             )(U_new[:, :nh])
             smax = jnp.max(jnp.where(amask, sig, 0.0))
             fin = jax.vmap(lambda u: jnp.all(jnp.isfinite(u)))(U_new)
             ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, fin, True)))
-            faces_own = pa.slice_tile_faces(fluxes, g, ts)
-            faces_restr = pa.restrict_tile_faces(faces_own, active)
             return U_new, faces_own, faces_restr, {
                 "max_signal": smax, "valid": ok, **stats
             }
 
         jitted = jax.jit(step)
-        self._pool_step_jits[l] = jitted
+        self._pool_step_jits[key] = jitted
         return jitted
 
     # ---- pool reflux / average-down (level l against a pool child l+1)
@@ -1248,7 +1318,7 @@ class AMRSimulation(Simulation):
         theta2 = theta1 + dt_l / self._parent_dt
         nbr, org, ps, po = self._pool_pad_args(l)
         amask = self._pool_active_mask(l)
-        step = self._get_pool_step(l)
+        step = self._get_pool_step(l, with_own=l < self.finest_level)
         with prof.region(f"hydro_P{l}"):
             U_new, faces_own, faces_restr, stats = step(
                 U_old, nbr, org, ps, po, amask,
@@ -1266,13 +1336,14 @@ class AMRSimulation(Simulation):
                 U_new, rad_own, rad_restr = radp.subcycle(
                     U_new, t_level, dt_l, nbr, org, ps, po, amask,
                     self._parent_padded_old, self._parent_padded_new,
-                    theta1, theta2,
+                    theta1, theta2, with_own=l < self.finest_level,
                 )
                 prof.sync(U_new)
-            faces_own = {
-                d: jnp.concatenate([faces_own[d], rad_own[d]], axis=1)
-                for d in faces_own
-            }
+            if faces_own is not None:
+                faces_own = {
+                    d: jnp.concatenate([faces_own[d], rad_own[d]], axis=1)
+                    for d in faces_own
+                }
             faces_restr = {
                 d: jnp.concatenate([faces_restr[d], rad_restr[d]], axis=1)
                 for d in faces_restr

@@ -128,6 +128,197 @@ def advance_pool_hydro_rk2(
     return U2, stats
 
 
+def advance_pool_hydro_rk2_chunked(
+    U_pool: jnp.ndarray,
+    dt,
+    opts: HydroOptions,
+    nbr: jnp.ndarray,
+    org: jnp.ndarray,
+    ps: jnp.ndarray,
+    po: jnp.ndarray,
+    make_backdrop: Callable,
+    pp1: jnp.ndarray,
+    pp2: jnp.ndarray,
+    chunk: int,
+    with_own_faces: bool,
+    active_axes=(0, 1, 2),
+) -> Tuple[jnp.ndarray, Dict | None, Dict, Dict]:
+    """Memory-lean variant of `advance_pool_hydro_rk2`: tiles advance in
+    CHUNKS under `lax.map`, and each chunk assembles its own ghost-padded
+    tiles (neighbor slab gathers + `make_backdrop(org_c, ps_c, po_c, pp)`
+    donors from the pre-lerped parent padded state `pp1`/`pp2` for the
+    stage-1/stage-2 times), so no full-pool padded array or face-flux dict is
+    ever materialized -- live memory is O(pool state) + O(chunk). Stage 2
+    re-assembles the stage-1 fill per chunk instead of holding stage-1
+    fluxes (+~50% flux work, the price of O(1) memory on the reference's
+    1024^3-class fine levels).
+
+    Returns (U2, faces_own | None, faces_restr, stats): faces sliced to
+    [0..t] (own resolution, only when `with_own_faces` -- the level has
+    children to reflux against) and restricted to the parent resolution."""
+    g = opts.nghost
+    ng3 = (g, g, g)
+    eos = opts.eos
+    T = U_pool.shape[0]
+    if T % chunk:
+        raise ValueError(f"pool capacity {T} not divisible by chunk {chunk}")
+    Nc = T // chunk
+    ts = U_pool.shape[2:]
+
+    def chunked(x):
+        return x.reshape(Nc, chunk, *x.shape[1:])
+
+    def unchunk(x):
+        return x.reshape(T, *x.shape[2:])
+
+    def unchunk_tree(tree):
+        return jax.tree_util.tree_map(unchunk, tree)
+
+    def fluxes_c(ug_c, first_order=False):
+        return jax.vmap(
+            lambda ug: compute_fluxes(ug, opts, first_order)
+        )(ug_c)
+
+    def apply_c(u_c, ug_c, fl, fv, m_c):
+        def one(u, ug, fls, fvs, m):
+            rhs = rhs_from_fluxes(fls, opts)
+            rhs = add_internal_energy_pdv(rhs, ug, fvs, opts, m)
+            return u + dt * interior(rhs, ng3)
+
+        if m_c is None:
+            return jax.vmap(
+                lambda u, ug, fls, fvs: one(u, ug, fls, fvs, None)
+            )(u_c, ug_c, fl, fv)
+        return jax.vmap(one)(u_c, ug_c, fl, fv, m_c)
+
+    def finalize(Up):
+        Up = jax.vmap(
+            lambda u: euler.enforce_limits(
+                u, eos, opts.density_floor, opts.temperature_floor,
+                opts.n_scalars,
+            )
+        )(Up)
+        if opts.use_dual_energy and not eos.is_isothermal:
+            Up = jax.vmap(euler.sync_dual_energy)(Up)
+        return Up
+
+    def fill_c(u_c, nbr_c, org_c, ps_c, po_c, pp, slabs):
+        bd = make_backdrop(org_c, ps_c, po_c, pp)
+        return tp.assemble_padded(u_c, nbr_c, bd, slabs, g)
+
+    def faces_of(fl_c):
+        own = slice_tile_faces(fl_c, g, ts)
+        restr = restrict_tile_faces(own, active_axes)
+        return (own if with_own_faces else None), restr
+
+    meta_in = (chunked(nbr), chunked(org), chunked(ps), chunked(po))
+    slabs0 = tp.slice_slabs(U_pool, g)
+
+    # ---- stage 1
+    def s1_body(args):
+        u_c, nbr_c, org_c, ps_c, po_c = args
+        ug = fill_c(u_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
+        fl, fv = fluxes_c(ug)
+        U1c = apply_c(u_c, ug, fl, fv, None)
+        redo = jax.vmap(
+            lambda u: jnp.logical_not(euler.is_state_valid(u, eos))
+        )(U1c)
+        return U1c, redo
+
+    U1, redo1 = lax.map(s1_body, (chunked(U_pool),) + meta_in)
+    U1, redo1 = unchunk(U1), unchunk(redo1)
+    n1 = jnp.sum(redo1)
+
+    def s1_redo(_):
+        mask_p = tp.fill_pool_ghosts_like(redo1[:, None], nbr, g)[:, 0]
+
+        def body(args):
+            u_c, nbr_c, org_c, ps_c, po_c, m_c = args
+            ug = fill_c(u_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
+            fl, fv = fluxes_c(ug)
+            fo_fl, fo_fv = fluxes_c(ug, first_order=True)
+            flb, fvb = jax.vmap(
+                lambda a, b, c, d, m: _blend_fofc(a, b, c, d, m, opts)
+            )(fl, fv, fo_fl, fo_fv, m_c)
+            return apply_c(u_c, ug, flb, fvb, m_c)
+
+        return unchunk(
+            lax.map(body, (chunked(U_pool),) + meta_in + (chunked(mask_p),))
+        )
+
+    U1 = lax.cond(jnp.any(redo1), s1_redo, lambda _: U1, None)
+    U1 = finalize(U1)
+
+    if opts.rk_order == 1:
+        # faces from a dedicated chunked pass (rk1 is not the hot path)
+        def f_body(args):
+            u_c, nbr_c, org_c, ps_c, po_c = args
+            ug = fill_c(u_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
+            fl, _ = fluxes_c(ug)
+            return faces_of(fl)
+
+        own, restr = lax.map(f_body, (chunked(U_pool),) + meta_in)
+        return U1, unchunk_tree(own), unchunk_tree(restr), {"n_fofc": n1}
+
+    # ---- stage 2 (time-averaged flux applied to U0)
+    slabs1 = tp.slice_slabs(U1, g)
+
+    def s2_body(args):
+        u0_c, u1_c, nbr_c, org_c, ps_c, po_c = args
+        ug0 = fill_c(u0_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
+        ug1 = fill_c(u1_c, nbr_c, org_c, ps_c, po_c, pp2, slabs1)
+        fl1, fv1 = fluxes_c(ug0)
+        fl2, fv2 = fluxes_c(ug1)
+        flA = {d: 0.5 * (fl1[d] + fl2[d]) for d in fl2}
+        fvA = {d: 0.5 * (fv1[d] + fv2[d]) for d in fv2}
+        U2c = apply_c(u0_c, ug0, flA, fvA, None)
+        redo = jax.vmap(
+            lambda u: jnp.logical_not(euler.is_state_valid(u, eos))
+        )(U2c)
+        own, restr = faces_of(flA)
+        return U2c, redo, own, restr
+
+    U2, redo2, own, restr = lax.map(
+        s2_body, (chunked(U_pool), chunked(U1)) + meta_in
+    )
+    U2, redo2 = unchunk(U2), unchunk(redo2)
+    own = unchunk_tree(own)
+    restr = unchunk_tree(restr)
+    n2 = jnp.sum(redo2)
+
+    def s2_redo(_):
+        mask_p = tp.fill_pool_ghosts_like(redo2[:, None], nbr, g)[:, 0]
+
+        def body(args):
+            u0_c, u1_c, nbr_c, org_c, ps_c, po_c, m_c = args
+            ug0 = fill_c(u0_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
+            ug1 = fill_c(u1_c, nbr_c, org_c, ps_c, po_c, pp2, slabs1)
+            fl1, fv1 = fluxes_c(ug0)
+            fl2, fv2 = fluxes_c(ug1)
+            flA = {d: 0.5 * (fl1[d] + fl2[d]) for d in fl2}
+            fvA = {d: 0.5 * (fv1[d] + fv2[d]) for d in fv2}
+            fo_fl, fo_fv = fluxes_c(ug0, first_order=True)
+            flb, fvb = jax.vmap(
+                lambda a, b, c, d, m: _blend_fofc(a, b, c, d, m, opts)
+            )(flA, fvA, fo_fl, fo_fv, m_c)
+            U2c = apply_c(u0_c, ug0, flb, fvb, m_c)
+            ownb, restrb = faces_of(flb)
+            return U2c, ownb, restrb
+
+        out = lax.map(
+            body,
+            (chunked(U_pool), chunked(U1)) + meta_in + (chunked(mask_p),),
+        )
+        return jax.tree_util.tree_map(unchunk, out)
+
+    def s2_clean(_):
+        return U2, own, restr
+
+    U2, own, restr = lax.cond(jnp.any(redo2), s2_redo, s2_clean, None)
+    U2 = finalize(U2)
+    return U2, own, restr, {"n_fofc": n1 + n2}
+
+
 def slice_tile_faces(F_pool: Dict[int, jnp.ndarray], g: int,
                      tile_shape) -> Dict[int, jnp.ndarray]:
     """Padded-face-coord per-tile fluxes -> interior faces [0..t] inclusive

@@ -176,6 +176,39 @@ def _region(tile_shape, g, d3):
     return tuple(src), tuple(dst)
 
 
+def slice_slabs(U_pool: jnp.ndarray, g: int):
+    """The 26 neighbor-edge slab pools the ghost assembly gathers from
+    (pre-sliced once per fill so chunked assembly reuses them)."""
+    lead = (slice(None), slice(None))
+    ts = U_pool.shape[2:]
+    return tuple(
+        U_pool[lead + _region(ts, g, d3)[0]] for d3 in DIRS
+    )
+
+
+def assemble_padded(U_tiles: jnp.ndarray, nbr_rows: jnp.ndarray,
+                    backdrop: jnp.ndarray, slabs, g: int) -> jnp.ndarray:
+    """Ghost assembly for a (sub)set of tiles: interior = tile data, 26
+    ghost regions = neighbor slab gathers where the neighbor exists, else
+    the `backdrop` value. `slabs` = `slice_slabs` of the FULL pool (the
+    neighbor table indexes the full pool)."""
+    T = U_tiles.shape[0]
+    ts = U_tiles.shape[2:]
+    lead = (slice(None), slice(None))
+    out = backdrop
+    ctr = tuple(slice(g, g + t) for t in ts)
+    out = out.at[lead + ctr].set(U_tiles)
+    for q, d3 in enumerate(DIRS):
+        _, dst = _region(ts, g, d3)
+        idx = nbr_rows[:, q]
+        gathered = jnp.take(slabs[q], jnp.maximum(idx, 0), axis=0)
+        ok = (idx >= 0).reshape(T, 1, 1, 1, 1)
+        out = out.at[lead + dst].set(
+            jnp.where(ok, gathered, out[lead + dst])
+        )
+    return out
+
+
 def fill_pool_ghosts(U_pool: jnp.ndarray, nbr: jnp.ndarray,
                      backdrop: jnp.ndarray, g: int) -> jnp.ndarray:
     """Assemble ghost-padded tiles [T, nvar, tx+2g, ty+2g, tz+2g].
@@ -185,22 +218,7 @@ def fill_pool_ghosts(U_pool: jnp.ndarray, nbr: jnp.ndarray,
     `backdrop` (prolonged parent data) value. Matches the dense composite
     `where(covered, fine, prolong(coarse))` cell-for-cell because tile
     coverage IS the level's active region."""
-    T, nv = U_pool.shape[:2]
-    ts = U_pool.shape[2:]
-    lead = (slice(None), slice(None))
-    out = backdrop
-    ctr = tuple(slice(g, g + t) for t in ts)
-    out = out.at[lead + ctr].set(U_pool)
-    for q, d3 in enumerate(DIRS):
-        src, dst = _region(ts, g, d3)
-        slab = U_pool[lead + src]
-        idx = nbr[:, q]
-        gathered = jnp.take(slab, jnp.maximum(idx, 0), axis=0)
-        ok = (idx >= 0).reshape(T, 1, 1, 1, 1)
-        out = out.at[lead + dst].set(
-            jnp.where(ok, gathered, out[lead + dst])
-        )
-    return out
+    return assemble_padded(U_pool, nbr, backdrop, slice_slabs(U_pool, g), g)
 
 
 def fill_pool_ghosts_like(U_pool, nbr, g, fill_value=0.0):

@@ -195,6 +195,20 @@ class RadhydroShellProblem(Problem):
             tags = tags | (g > 0.1)
         return tags & (rho >= 1.0e-2 * RHO_0)
 
+    def error_est_local(self, U_padded, grid, level, origin):
+        """Same gradient tagging on one ghost-padded tile (tile-pool
+        levels): the +-1 stencil is exact everywhere the driver's
+        n_error_buf dilation can reach the interior."""
+        from ..stencil import sh
+
+        rho = U_padded[RHO]
+        tags = jnp.zeros(rho.shape, bool)
+        for d in range(3):
+            g = jnp.maximum(jnp.abs(sh(rho, 1, d) - rho),
+                            jnp.abs(rho - sh(rho, -1, d))) / rho
+            tags = tags | (g > 0.1)
+        return tags & (rho >= 1.0e-2 * RHO_0)
+
     def set_initial_conditions(self, grid):
         layout = self.physics.layout()
         shape = grid.n_cell

@@ -70,6 +70,7 @@ class PoolLevelRadiation:
         # pool tiles run the XLA transport formulation under vmap
         self.opts = dataclasses.replace(base, use_pallas=False)
         self.rad_start = sim.layout.rad_start
+        self.chunk = sim.pool_chunk
         self._build()
 
     def _build(self):
@@ -130,79 +131,110 @@ class PoolLevelRadiation:
             U2 = jnp.moveaxis(U2f.reshape(nv, T, tx, ty, tz), 1, 0)
             return U2, tel
 
-        def substep(U, nbr, org, ps, po, ppad_old, ppad_new,
-                    th_a, th_b, time, dt):
-            dt = jnp.asarray(dt, U.dtype)
-            time = jnp.asarray(time, U.dtype)
+        chunk = self.chunk
 
-            def rad_src_of(o):
-                gv = TileGridView(grid, o, ts)
-                src = jnp.asarray(
-                    problem.set_radiation_energy_source(gv, time), U.dtype
-                )
-                if multigroup and src.ndim == 3:
-                    src = jnp.broadcast_to(src[None], (G, *src.shape)) / G
-                return src
-
-            rad_src = jax.vmap(rad_src_of)(org)
-
-            def fill(Up_rad, theta):
-                pp = (1.0 - theta) * ppad_old + theta * ppad_new
-                ppr = (pp[:, rad_start:] if parent_pool
-                       else pp[rad_start:])
-                if parent_pool:
-                    bd = tp.make_backdrop_from_pool(
-                        ppr, ps, po, ts, g, g, active
-                    )
-                else:
-                    bd = tp.make_backdrop_from_dense(
-                        ppr, org, ts, g, g, active
-                    )
-                return tp.fill_pool_ghosts(Up_rad, nbr, bd, g)
-
-            def transport_fluxes(Ug_rad):
-                return jax.vmap(
-                    lambda ug: compute_rad_fluxes(ug, 0, opts, active, dx)
-                )(Ug_rad)
-
-            def div_int(fluxes):
-                return jax.vmap(
-                    lambda fl: interior(rad_div_fluxes(fl, dx), ng3)
-                )(fluxes)
-
-            Ug0 = fill(U[:, rad_start:], th_a)
-            fluxes0 = transport_fluxes(Ug0)
-            divF0 = div_int(fluxes0)
-            R0 = rad_part(U)
-            R1 = jax.vmap(lambda r, d: predict_step(r, d, dt, opts))(R0, divF0)
-            U1 = with_rad(U, R1)
-            U1, _ = source_update(U1, rad_src, dt, 1)
-
-            Ug1 = fill(U1[:, rad_start:], th_b)
-            fluxes1 = transport_fluxes(Ug1)
-            divF1 = div_int(fluxes1)
-            R_new = jax.vmap(
-                lambda r0, r1, d0, d1: add_fluxes_rk2(r0, r1, d0, d1, dt, opts)
-            )(R0, rad_part(U1), divF0, divF1)
-            U2 = with_rad(U1, R_new)
-            U2, _ = source_update(U2, rad_src, dt, 2)
-
-            eff = {
-                d: (0.5 * (fluxes0[d] + fluxes1[d])).reshape(
-                    U.shape[0], 4 * G, *fluxes0[d].shape[3:]
-                )
-                for d in fluxes0
+        def faces_of(fl_tiles, T):
+            """Padded-coords transport fluxes -> [0..t] faces as
+            4G-component dicts (slicing is rounding-free; restriction to
+            the parent happens ONCE per hydro substep after the subcycle
+            sum, the dense path's accumulation order)."""
+            flat = {
+                d: F.reshape(T, 4 * G, *F.shape[3:])
+                for d, F in fl_tiles.items()
             }
-            return U2, eff
+            return pa.slice_tile_faces(flat, g, ts)
 
-        self._substep = jax.jit(substep)
+        def make_substep(_unused=True):
+            def substep(U, nbr, org, ps, po, ppad_old, ppad_new,
+                        th_a, th_b, time, dt):
+                dt = jnp.asarray(dt, U.dtype)
+                time = jnp.asarray(time, U.dtype)
+                T = U.shape[0]
 
-        def finalize_faces(flux_sum):
-            own = pa.slice_tile_faces(flux_sum, g, ts)
-            restr = pa.restrict_tile_faces(own, active)
-            return own, restr
+                def rad_src_of(o):
+                    gv = TileGridView(grid, o, ts)
+                    src = jnp.asarray(
+                        problem.set_radiation_energy_source(gv, time), U.dtype
+                    )
+                    if multigroup and src.ndim == 3:
+                        src = jnp.broadcast_to(src[None], (G, *src.shape)) / G
+                    return src
 
-        self._finalize = jax.jit(finalize_faces)
+                rad_src = jax.vmap(rad_src_of)(org)
+
+                def prelerp(theta):
+                    pp = (1.0 - theta) * ppad_old + theta * ppad_new
+                    return (pp[:, rad_start:] if parent_pool
+                            else pp[rad_start:])
+
+                def backdrop(ppr, org_r, ps_r, po_r):
+                    if parent_pool:
+                        return tp.make_backdrop_from_pool(
+                            ppr, ps_r, po_r, ts, g, g, active
+                        )
+                    return tp.make_backdrop_from_dense(
+                        ppr, org_r, ts, g, g, active
+                    )
+
+                def transport(Up_rad, ppr):
+                    """(div interior, [0..t] faces) of the HLL transport
+                    sweep; chunked when configured."""
+                    slabs = tp.slice_slabs(Up_rad, g)
+
+                    def chunk_body(args):
+                        u_c, nbr_c, org_c, ps_c, po_c = args
+                        bd = backdrop(ppr, org_c, ps_c, po_c)
+                        ug = tp.assemble_padded(u_c, nbr_c, bd, slabs, g)
+                        fl = jax.vmap(
+                            lambda x: compute_rad_fluxes(x, 0, opts, active, dx)
+                        )(ug)
+                        div = jax.vmap(
+                            lambda f: interior(rad_div_fluxes(f, dx), ng3)
+                        )(fl)
+                        return div, faces_of(fl, u_c.shape[0])
+
+                    if chunk:
+                        Nc = T // chunk
+
+                        def ch(x):
+                            return x.reshape(Nc, chunk, *x.shape[1:])
+
+                        out = jax.lax.map(chunk_body, (
+                            ch(Up_rad), ch(nbr), ch(org), ch(ps), ch(po)
+                        ))
+                        return jax.tree_util.tree_map(
+                            lambda x: x.reshape(T, *x.shape[2:]), out
+                        )
+                    return chunk_body((Up_rad, nbr, org, ps, po))
+
+                Ug_args0 = prelerp(th_a)
+                divF0, own0 = transport(U[:, rad_start:], Ug_args0)
+                R0 = rad_part(U)
+                R1 = jax.vmap(
+                    lambda r, d: predict_step(r, d, dt, opts)
+                )(R0, divF0)
+                U1 = with_rad(U, R1)
+                U1, _ = source_update(U1, rad_src, dt, 1)
+
+                divF1, own1 = transport(U1[:, rad_start:], prelerp(th_b))
+                R_new = jax.vmap(
+                    lambda r0, r1, d0, d1: add_fluxes_rk2(
+                        r0, r1, d0, d1, dt, opts
+                    )
+                )(R0, rad_part(U1), divF0, divF1)
+                U2 = with_rad(U1, R_new)
+                U2, _ = source_update(U2, rad_src, dt, 2)
+
+                own = {d: 0.5 * (own0[d] + own1[d]) for d in own0}
+                return U2, own
+            return substep
+
+        self._substep = jax.jit(make_substep(True))
+
+        def finalize(own_sum):
+            return pa.restrict_tile_faces(own_sum, active)
+
+        self._restrict_faces = jax.jit(finalize)
 
     def n_substeps(self, dt_level: float) -> int:
         sim = self.sim
@@ -218,25 +250,26 @@ class PoolLevelRadiation:
         return n
 
     def subcycle(self, U, time: float, dt_level: float, nbr, org, ps, po,
-                 amask, ppad_old, ppad_new, th0: float, th1: float
-                 ) -> Tuple[jnp.ndarray, Dict, Dict]:
+                 amask, ppad_old, ppad_new, th0: float, th1: float,
+                 with_own: bool = True) -> Tuple[jnp.ndarray, Dict, Dict]:
         """Advance the pool's radiation by dt_level; returns
-        (U, own-resolution time-avg faces, parent-restricted faces)."""
+        (U, own-resolution time-avg faces | None, parent-restricted
+        faces)."""
         nsub = self.n_substeps(dt_level)
         dt_r = dt_level / nsub
         dtype = U.dtype
-        flux_sum = None
+        own_sum = None
         for i in range(nsub):
             th_a = th0 + (th1 - th0) * (i / nsub)
             th_b = th0 + (th1 - th0) * ((i + 1) / nsub)
-            U, eff = self._substep(
+            U, own = self._substep(
                 U, nbr, org, ps, po, ppad_old, ppad_new,
                 jnp.asarray(th_a, dtype), jnp.asarray(th_b, dtype),
                 time + i * dt_r, dt_r,
             )
-            if flux_sum is None:
-                flux_sum = {d: F / nsub for d, F in eff.items()}
+            if own_sum is None:
+                own_sum = {d: F / nsub for d, F in own.items()}
             else:
-                flux_sum = {d: flux_sum[d] + F / nsub for d, F in eff.items()}
-        own, restr = self._finalize(flux_sum)
-        return U, own, restr
+                own_sum = {d: own_sum[d] + F / nsub for d, F in own.items()}
+        restr = self._restrict_faces(own_sum)
+        return U, (own_sum if with_own else None), restr

@@ -80,3 +80,81 @@ def test_shell_momentum_injection():
     # radiation pressure drives the shell outward
     assert p1 > p0
     assert p1 > 0
+
+
+def test_shell_amr_pool_3level_refluxed():
+    """Shell with 2 POOL refinement levels (3 total) and refluxing ON in
+    f32 -- the reference's AMR benchmark configuration class
+    (``tests/radhydro_shell_amr.in``: base + 2 levels, do_reflux = 1),
+    scaled to a 32^3 base for CI. Closes the round-2 known issue where
+    the dense-mask 3-level shell produced invalid states at small bases:
+    the pool representation advances only real tile cells (reference
+    patch semantics).
+
+    Asserts: the hierarchy reaches max_level, every level stays finite,
+    the FOM counters count active cells only, and radiation pressure
+    drives net outward radial momentum."""
+    import dataclasses
+
+    from quokka_tpu.amr.hierarchy import AMRSimulation
+
+    class _ShellCI(RadhydroShellProblem):
+        """CI-speed variant: reduced c_hat (10x fewer radiation substeps;
+        RSLA admits any c_hat >> max flow speed)."""
+
+    prob = _ShellCI()
+    prob.rad = dataclasses.replace(prob.rad, c_hat=86.0)
+
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0.0 0.0 0.0
+        geometry.prob_hi = 4.0 4.0 4.0
+        amr.n_cell = 32 32 32
+        amr.max_level = 2
+        amr.sparse_min_level = 1
+        amr.tile_size = 8 8 8
+        amr.n_error_buf = 3
+        regrid_interval = 2
+        do_reflux = 1
+        do_subcycle = 1
+        cfl = 0.3
+        hydro.reconstruction_order = 2
+        radiation.reconstruction_order = 2
+        radiation.cfl = 0.3
+        radiation.max_substeps = 64
+        density_floor = 1.0e-8
+        max_timesteps = 2
+        stop_time = 1.0e10
+        verbose = 0
+        hydro.use_pallas = 0
+        """
+    )
+    sim = AMRSimulation(prob, pp, precision="single")
+    sim.set_initial_conditions()
+    assert sim.finest_level == 2, "shell gradient tagging must refine"
+    n_tiles = [sim.level_pool[l].meta.n_active for l in (1, 2)]
+    assert all(n > 0 for n in n_tiles)
+    sim.evolve()
+
+    # finite everywhere
+    assert bool(jnp.all(jnp.isfinite(sim.level_U[0])))
+    for l in (1, 2):
+        st = sim.level_pool[l]
+        act = np.asarray(st.U[: st.meta.n_active])
+        assert np.isfinite(act).all(), f"level {l} not finite"
+
+    # honest FOM: active cells only (pool levels advance no backdrop)
+    assert sim.cell_updates == sim.cell_updates_raw
+    assert sim.cell_updates > 3 * 32**3  # refined levels contributed
+
+    # physics: net outward radial momentum injected by radiation pressure
+    grid = sim.grid
+    x, y, z = grid.cell_center_mesh()
+    c = [0.5 * (grid.prob_lo[d] + grid.prob_hi[d]) for d in range(3)]
+    r = jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2)
+    mom_r = (
+        sim.level_U[0][MX1] * (x - c[0])
+        + sim.level_U[0][MX2] * (y - c[1])
+        + sim.level_U[0][MX3] * (z - c[2])
+    ) / jnp.maximum(r, 1e-6)
+    assert float(jnp.sum(mom_r)) > 0.0

@@ -91,11 +91,13 @@ class _SmoothBumpAMR(Problem):
         return out
 
 
-def _deck(n, max_level, sparse_min, steps):
+def _deck(n, max_level, sparse_min, steps, pool_chunk=0):
     extra = ""
     if sparse_min is not None:
         extra = f"amr.sparse_min_level = {sparse_min}\n"
         extra += f"amr.tile_size = {TS[0]} {TS[1]} {TS[2]}\n"
+        if pool_chunk:
+            extra += f"amr.pool_chunk = {pool_chunk}\n"
     return ParmParse.from_string(
         f"""
         geometry.prob_lo = 0.0 0.0 0.0
@@ -189,3 +191,72 @@ def test_pool_conservation():
     sim.evolve()
     assert abs(sim.conservation_rel_err[RHO]) < 1e-12
     assert abs(sim.conservation_rel_err[EGAS]) < 1e-12
+
+
+def test_pool_chunked_matches_unchunked():
+    """amr.pool_chunk (lax.map chunks, per-chunk fills, stage-1 flux
+    recomputation) must agree with the whole-pool vmapped path to f32
+    summation roundoff across a 3-level subcycled run with refluxing.
+    (Not bitwise: chunked stage-2 re-assembly changes fusion boundaries.)"""
+    n = 16
+    sim_u = _run(n, 2, 1, steps=3)
+    sim_c = AMRSimulation(
+        _SmoothBumpAMR(), _deck(n, 2, 1, 3, pool_chunk=4),
+        precision="single",
+    )
+    sim_c.set_initial_conditions()
+    sim_c.evolve()
+    assert sim_c.t == sim_u.t
+    np.testing.assert_allclose(
+        np.asarray(sim_c.level_U[0]), np.asarray(sim_u.level_U[0]),
+        rtol=2e-6, atol=2e-6,
+    )
+    for l in (1, 2):
+        su, sc = sim_u.level_pool[l], sim_c.level_pool[l]
+        assert sc.meta.capacity % 4 == 0
+        # same tile sets
+        assert [tuple(t) for t in sc.meta.ijk[: sc.meta.n_active]] == [
+            tuple(t) for t in su.meta.ijk[: su.meta.n_active]
+        ]
+        np.testing.assert_allclose(
+            np.asarray(sc.U[: sc.meta.n_active]),
+            np.asarray(su.U[: su.meta.n_active]),
+            rtol=2e-6, atol=2e-6,
+        )
+
+
+def test_pool_sharded_matches_single():
+    """Pool levels sharded over the 8-device CPU mesh (tile-axis
+    NamedSharding; every inter-tile transfer is a gather, so GSPMD turns
+    them into collectives) must reproduce the single-device pool run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from quokka_tpu.parallel.decomp import make_decomposition
+
+    n = 16
+    sim_s = _run(n, 2, 1, steps=3)
+    decomp = make_decomposition((n, n, n), tiles=(4, 2, 1))
+    sim_m = AMRSimulation(
+        _SmoothBumpAMR(), _deck(n, 2, 1, 3), precision="single",
+        decomp=decomp,
+    )
+    sim_m.set_initial_conditions()
+    sim_m.evolve()
+    assert sim_m.t == sim_s.t
+    np.testing.assert_allclose(
+        np.asarray(sim_m.level_U[0]), np.asarray(sim_s.level_U[0]),
+        rtol=1e-6, atol=1e-7,
+    )
+    for l in (1, 2):
+        ss, sm = sim_s.level_pool[l], sim_m.level_pool[l]
+        assert sm.meta.capacity % 8 == 0
+        assert [tuple(t) for t in sm.meta.ijk[: sm.meta.n_active]] == [
+            tuple(t) for t in ss.meta.ijk[: ss.meta.n_active]
+        ]
+        np.testing.assert_allclose(
+            np.asarray(sm.U[: sm.meta.n_active]),
+            np.asarray(ss.U[: ss.meta.n_active]),
+            rtol=1e-6, atol=1e-7,
+        )
