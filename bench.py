@@ -173,7 +173,7 @@ def run_amr_shell(n, max_level, steps, sparse=True):
         do_subcycle = 1
         cfl = 0.3
         radiation.cfl = 0.3
-        radiation.max_substeps = 64
+        radiation.max_substeps = 10
         density_floor = 1.0e-8
         max_timesteps = {steps + 2}
         stop_time = 1.0e10

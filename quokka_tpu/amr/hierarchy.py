@@ -956,13 +956,9 @@ class AMRSimulation(Simulation):
             self._parent_dt = dt_l
             if child_pool:
                 # pool children consume ghost-PADDED parent endpoints
-                saved_pad = (
-                    getattr(self, "_parent_padded_old", None),
-                    getattr(self, "_parent_padded_new", None),
-                )
+                saved_pad = getattr(self, "_parent_ctx", None)
                 pad = self._get_dense_pad(l)
-                self._parent_padded_old = pad(U_old)
-                self._parent_padded_new = pad(U_new)
+                self._parent_ctx = ("dense", (pad(U_old), pad(U_new)))
 
             # subcycled: 2 fine substeps per parent step; global stepping:
             # one fine step with the same dt (reference do_subcycle=0)
@@ -987,7 +983,7 @@ class AMRSimulation(Simulation):
             (self._parent_U_old, self._parent_U_new,
              self._parent_t, self._parent_dt) = saved
             if child_pool:
-                (self._parent_padded_old, self._parent_padded_new) = saved_pad
+                self._parent_ctx = saved_pad
 
             if self.do_reflux:
                 with prof.region(f"reflux_L{l}"):
@@ -1066,6 +1062,27 @@ class AMRSimulation(Simulation):
             self._pool_jits[key] = jax.jit(pad)
         return self._pool_jits[key]
 
+    def _ctx_pair(self, lp: int, ctx):
+        """Materialized padded parent pair from a parent context (for the
+        deep-hierarchy `_get_pool_pad` chain). Lazy pool contexts are
+        materialized here by assembling level lp's full padded pair
+        (small pools only -- the lazy path exists so the LARGE first pool
+        level never materializes its pair)."""
+        kind, arrs = ctx
+        if kind in ("dense", "poolpad"):
+            return arrs[0], arrs[1]
+        # lazy: (U_old, U_new, nbr, org, tha, thb, gp_old, gp_new); level
+        # lp's parent is dense by construction of the lazy gate
+        U_old, U_new, nbr, org, tha, thb, gpo, gpn = arrs
+        st = self.level_pool[lp]
+        zero = jnp.zeros((st.meta.capacity,), jnp.int32)
+        zero3 = jnp.zeros((st.meta.capacity, 3), jnp.int32)
+        pad = self._get_pool_pad(lp)
+        return (
+            pad(U_old, nbr, org, zero, zero3, gpo, gpn, tha),
+            pad(U_new, nbr, org, zero, zero3, gpo, gpn, thb),
+        )
+
     def _pool_pad_args(self, l: int):
         st = self.level_pool[l]
         m = st.meta
@@ -1075,17 +1092,27 @@ class AMRSimulation(Simulation):
         po = st.parent_off if st.parent_off is not None else zero3
         return m.nbr_dev, m.origin_dev, ps, po
 
-    def _get_pool_step(self, l: int, with_own: bool):
+    def _get_pool_step(self, l: int, with_own: bool, kind: str):
         """Jitted one-substep hydro advance of pool level l. Returns
         (U_new, faces_own, faces_restr, stats): faces_own = the level's
         own time-averaged tile faces [0..t] (the coarse side of refluxing
         against level l+1; None unless `with_own`); faces_restr = the
         same restricted to parent resolution (this level's contribution
-        to the parent's register)."""
-        key = (l, with_own)
+        to the parent's register).
+
+        `kind` = the parent-context representation:
+        - "dense":   ctx = (padded dense parent old, new)
+        - "poolpad": ctx = (materialized padded parent POOL old, new)
+        - "pool":    lazy ctx = (U_old_p, U_new_p, nbr_p, org_p, tha, thb,
+          gp_padded_old, gp_padded_new) -- parent tiles are assembled ON
+          DEMAND per chunk from the parent pool + the dense grandparent
+          pair, so no full parent padded pool is ever materialized (the
+          benchmark-scale path; identical expressions to the materialized
+          scheme, just evaluated per chunk)."""
+        key = (l, with_own, kind)
         if key in self._pool_step_jits:
             return self._pool_step_jits[key]
-        parent_pool = self._is_pool(l - 1)
+        parent_pool = kind != "dense"
         ts = self.tile_shape
         g = self._g
         active = self.grid.active_axes
@@ -1093,15 +1120,54 @@ class AMRSimulation(Simulation):
         nh = self.layout.nvar_hydro
         strang = self._strang if self._strang_active else None
         chunk = self.pool_chunk
+        if kind == "pool" and not chunk:
+            raise ValueError("lazy pool parent context requires amr.pool_chunk")
 
-        def step(U_pool, nbr, org, ps, po, amask, ppad_old, ppad_new,
-                 th1, th2, dt):
+        def step(U_pool, nbr, org, ps, po, amask, ctx, th1, th2, dt):
             ok = jnp.asarray(True)
             if strang is not None:
                 U_pool, ok1 = jax.vmap(lambda u: strang(u, 0.5 * dt))(U_pool)
                 ok = jnp.logical_and(ok, jnp.all(jnp.where(amask, ok1, True)))
 
-            if chunk:
+            if kind == "pool":
+                (Uo_p, Un_p, nbr_p, org_p, tha, thb, gpo, gpn) = ctx
+                gpa = ((1.0 - tha) * gpo + tha * gpn)[:nh]
+                gpb = ((1.0 - thb) * gpo + thb * gpn)[:nh]
+                Uo_h = Uo_p[:, :nh]
+                Un_h = Un_p[:, :nh]
+                sla = tp.slice_slabs(Uo_h, g)
+                slb = tp.slice_slabs(Un_h, g)
+
+                def make_backdrop(org_c, ps_c, po_c, tau):
+                    rows = jnp.maximum(ps_c, 0)
+                    bda = tp.make_backdrop_from_dense(
+                        gpa, org_p[rows], ts, g, g, active
+                    )
+                    p_old = tp.assemble_padded(
+                        Uo_h[rows], nbr_p[rows], bda, sla, g
+                    )
+                    bdb = tp.make_backdrop_from_dense(
+                        gpb, org_p[rows], ts, g, g, active
+                    )
+                    p_new = tp.assemble_padded(
+                        Un_h[rows], nbr_p[rows], bdb, slb, g
+                    )
+                    ppt = (1.0 - tau) * p_old + tau * p_new
+                    loc = jnp.arange(ps_c.shape[0], dtype=jnp.int32)
+                    return tp.make_backdrop_from_pool(
+                        ppt, loc, po_c, ts, g, g, active
+                    )
+
+                Uh_new, faces_own, faces_restr, stats = (
+                    pa.advance_pool_hydro_rk2_chunked(
+                        U_pool[:, :nh], dt, opts, nbr, org, ps, po,
+                        make_backdrop, th1, th2, chunk, with_own,
+                        active_axes=active,
+                    )
+                )
+            elif chunk:
+                ppad_old, ppad_new = ctx
+
                 def make_backdrop(org_c, ps_c, po_c, pph):
                     if parent_pool:
                         return tp.make_backdrop_from_pool(
@@ -1123,6 +1189,7 @@ class AMRSimulation(Simulation):
                     )
                 )
             else:
+                ppad_old, ppad_new = ctx
                 def backdrop(theta):
                     pp = (1.0 - theta) * ppad_old + theta * ppad_new
                     pph = pp[:, :nh] if parent_pool else pp[:nh]
@@ -1318,11 +1385,12 @@ class AMRSimulation(Simulation):
         theta2 = theta1 + dt_l / self._parent_dt
         nbr, org, ps, po = self._pool_pad_args(l)
         amask = self._pool_active_mask(l)
-        step = self._get_pool_step(l, with_own=l < self.finest_level)
+        ctx_kind, ctx_arrs = self._parent_ctx
+        step = self._get_pool_step(l, with_own=l < self.finest_level,
+                                   kind=ctx_kind)
         with prof.region(f"hydro_P{l}"):
             U_new, faces_own, faces_restr, stats = step(
-                U_old, nbr, org, ps, po, amask,
-                self._parent_padded_old, self._parent_padded_new,
+                U_old, nbr, org, ps, po, amask, ctx_arrs,
                 jnp.asarray(theta1, dtype), jnp.asarray(theta2, dtype),
                 jnp.asarray(dt_l, dtype),
             )
@@ -1335,7 +1403,7 @@ class AMRSimulation(Simulation):
             with prof.region(f"rad_P{l}"):
                 U_new, rad_own, rad_restr = radp.subcycle(
                     U_new, t_level, dt_l, nbr, org, ps, po, amask,
-                    self._parent_padded_old, self._parent_padded_new,
+                    ctx_kind, ctx_arrs,
                     theta1, theta2, with_own=l < self.finest_level,
                 )
                 prof.sync(U_new)
@@ -1355,15 +1423,25 @@ class AMRSimulation(Simulation):
         self.cell_updates_raw += st.meta.active_cells
 
         if l < self.finest_level:
-            pad = self._get_pool_pad(l)
-            ppo, ppn = self._parent_padded_old, self._parent_padded_new
-            pad_old = pad(U_old, nbr, org, ps, po, ppo, ppn,
-                          jnp.asarray(theta1, dtype))
-            pad_new = pad(U_new, nbr, org, ps, po, ppo, ppn,
-                          jnp.asarray(theta2, dtype))
-            saved = (ppo, ppn, self._parent_t, self._parent_dt)
-            self._parent_padded_old = pad_old
-            self._parent_padded_new = pad_new
+            th1a = jnp.asarray(theta1, dtype)
+            th2a = jnp.asarray(theta2, dtype)
+            if self.pool_chunk and ctx_kind == "dense":
+                # lazy child context: children assemble THIS level's padded
+                # tiles on demand from (our pool pair + the dense parent
+                # pair) -- no full padded pool is materialized (the
+                # benchmark-scale path)
+                child_ctx = ("pool", (
+                    U_old, U_new, nbr, org, th1a, th2a,
+                    ctx_arrs[0], ctx_arrs[1],
+                ))
+            else:
+                ppo, ppn = self._ctx_pair(l - 1, self._parent_ctx)
+                pad = self._get_pool_pad(l)
+                pad_old = pad(U_old, nbr, org, ps, po, ppo, ppn, th1a)
+                pad_new = pad(U_new, nbr, org, ps, po, ppo, ppn, th2a)
+                child_ctx = ("poolpad", (pad_old, pad_new))
+            saved = (self._parent_ctx, self._parent_t, self._parent_dt)
+            self._parent_ctx = child_ctx
             self._parent_t = t_level
             self._parent_dt = dt_l
 
@@ -1378,8 +1456,7 @@ class AMRSimulation(Simulation):
                 else:
                     fine_sum = {d: fine_sum[d] + w * ff[d] for d in ff}
 
-            (self._parent_padded_old, self._parent_padded_new,
-             self._parent_t, self._parent_dt) = saved
+            (self._parent_ctx, self._parent_t, self._parent_dt) = saved
 
             if self.do_reflux:
                 with prof.region(f"reflux_P{l}"):

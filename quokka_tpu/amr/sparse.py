@@ -56,8 +56,28 @@ class PoolState:
         return jnp.full((self.meta.capacity, 2, 2, 2), -1, jnp.int32)
 
 
+def _chunked_map(fn, args, chunk: int):
+    """lax.map over tile chunks (pads the tile axis up to a chunk
+    multiple; callers slice back). Bounds the live memory of whole-pool
+    vmapped transforms (regrid prolongation allocates ~6 intermediates
+    per tile -- unchunked it OOMs at benchmark scale)."""
+    T = args[0].shape[0]
+    Nc = -(-T // chunk)
+    pad = Nc * chunk - T
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+        return x.reshape(Nc, chunk, *x.shape[1:])
+
+    out = jax.lax.map(fn, tuple(prep(a) for a in args))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(Nc * chunk, *x.shape[2:])[:T], out
+    )
+
+
 def prolong_tiles_from_dense(parent_padded, origin_dev, tile_shape,
-                             gp, active_axes):
+                             gp, active_axes, chunk: int = 64):
     """Tile interiors prolonged from a dense padded parent (new-tile data
     at regrid; `make_backdrop_from_dense` with zero fine ghosts)."""
     hc = 1
@@ -69,14 +89,18 @@ def prolong_tiles_from_dense(parent_padded, origin_dev, tile_shape,
         start = (z,) + tuple(o[d] // 2 - hc + gp for d in range(3))
         return lax.dynamic_slice(parent_padded, start, sizes)
 
-    donors = jax.vmap(donor)(origin_dev)
-    fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
-    sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
-    return fine[(slice(None), slice(None)) + sl]
+    def body(args):
+        (o_c,) = args
+        donors = jax.vmap(donor)(o_c)
+        fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
+        sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
+        return fine[(slice(None), slice(None)) + sl]
+
+    return _chunked_map(body, (origin_dev,), chunk)
 
 
 def prolong_tiles_from_pool(parent_padded_pool, parent_slot, parent_off,
-                            tile_shape, gp, active_axes):
+                            tile_shape, gp, active_axes, chunk: int = 64):
     hc = 1
     nv = parent_padded_pool.shape[1]
     sizes = (nv,) + tuple(t // 2 + 2 * hc for t in tile_shape)
@@ -87,10 +111,14 @@ def prolong_tiles_from_pool(parent_padded_pool, parent_slot, parent_off,
         start = (z,) + tuple(off[d] - hc + gp for d in range(3))
         return lax.dynamic_slice(tile, start, sizes)
 
-    donors = jax.vmap(donor)(parent_slot, parent_off)
-    fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
-    sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
-    return fine[(slice(None), slice(None)) + sl]
+    def body(args):
+        ps_c, po_c = args
+        donors = jax.vmap(donor)(ps_c, po_c)
+        fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
+        sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
+        return fine[(slice(None), slice(None)) + sl]
+
+    return _chunked_map(body, (parent_slot, parent_off), chunk)
 
 
 def _unblock(flat: jnp.ndarray, grid, tile) -> jnp.ndarray:

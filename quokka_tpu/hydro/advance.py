@@ -102,11 +102,26 @@ def _face_state(q: jnp.ndarray, axis: int, opts: HydroOptions) -> FaceState:
     w = q[PVX1 + wax]
     ke = 0.5 * rho * (u * u + v * v + w * w)
 
+    # composition-dependent mixture EOS: per-FACE gamma from the
+    # reconstructed species scalars (the reference's Riemann gather passes
+    # massScalars into every EOS call, ``src/hydro/hydro_system.hpp:884-1006``)
+    gam = euler.mixture_gamma(eos, q, SCALAR0)
+
     if eos.is_isothermal:
         P = rho * eos.cs_isothermal**2
         cs = jnp.full_like(rho, eos.cs_isothermal)
         E = jnp.zeros_like(rho)
         Eint = jnp.zeros_like(rho)
+    elif gam is not None:
+        if opts.reconstruct_eint:
+            eint = q[PPRES] * rho
+            Eint = rho * q[PEINT]
+        else:
+            eint = None
+            Eint = q[PEINT]
+        P = (gam - 1.0) * eint if eint is not None else q[PPRES]
+        cs = jnp.sqrt(gam * P / rho)
+        E = P / (gam - 1.0) + ke
     elif opts.reconstruct_eint:
         eint_spec = q[PPRES]
         P = eos.pressure(rho, eint_spec * rho)
@@ -120,7 +135,8 @@ def _face_state(q: jnp.ndarray, axis: int, opts: HydroOptions) -> FaceState:
         E = eos.eint_from_pres(rho, P) + ke
 
     scalars = q[SCALAR0:] if q.shape[0] > SCALAR0 else None
-    return FaceState(rho=rho, u=u, v=v, w=w, P=P, cs=cs, E=E, Eint=Eint, scalars=scalars)
+    return FaceState(rho=rho, u=u, v=v, w=w, P=P, cs=cs, E=E, Eint=Eint,
+                     scalars=scalars, gamma=gam)
 
 
 def _compute_axis_flux(

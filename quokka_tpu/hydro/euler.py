@@ -15,7 +15,20 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from ..eos import IdealGasEOS
-from ..indices import EGAS, EINT, MX1, MX2, MX3, PEINT, PPRES, PRHO, PVX1, RHO, SCALAR0
+from ..indices import EGAS, EINT, MX1, MX2, MX3, PEINT, PPRES, PRHO, PSCALAR0, PVX1, RHO, SCALAR0
+
+
+def mixture_gamma(eos, arr: jnp.ndarray, scalar0: int):
+    """Per-cell effective gamma when `eos` is composition-dependent
+    (`MixtureHydroEOS.gamma_of_scalars`) and `arr` carries the species
+    partial densities at [scalar0 : scalar0+n_species]; None otherwise
+    (the fixed-gamma paths are left structurally untouched -- this is a
+    trace-time dispatch, reference ``src/hydro/EOS.hpp:82-112`` routing
+    every hydro EOS call through the chem EOS when the network is on)."""
+    fn = getattr(eos, "gamma_of_scalars", None)
+    if fn is None or arr.shape[0] < scalar0 + eos.n_species:
+        return None
+    return fn(arr[scalar0:scalar0 + eos.n_species])
 
 
 def cons_to_prim(U: jnp.ndarray, eos: IdealGasEOS, reconstruct_eint: bool) -> jnp.ndarray:
@@ -38,7 +51,11 @@ def cons_to_prim(U: jnp.ndarray, eos: IdealGasEOS, reconstruct_eint: bool) -> jn
         p_slot = Eint_cons * inv_rho  # specific internal energy
         e_slot = Eint_aux * inv_rho  # aux specific internal energy
     else:
-        p_slot = eos.pressure(rho, Eint_cons)
+        gam = mixture_gamma(eos, U, SCALAR0)
+        if gam is not None and not eos.is_isothermal:
+            p_slot = (gam - 1.0) * Eint_cons
+        else:
+            p_slot = eos.pressure(rho, Eint_cons)
         e_slot = Eint_aux
 
     prim = jnp.stack([rho, vx, vy, vz, p_slot, e_slot])
@@ -53,6 +70,9 @@ def pressure_from_prim(prim: jnp.ndarray, eos: IdealGasEOS, reconstruct_eint: bo
     if eos.is_isothermal:
         return rho * eos.cs_isothermal**2
     if reconstruct_eint:
+        gam = mixture_gamma(eos, prim, PSCALAR0)
+        if gam is not None:
+            return (gam - 1.0) * rho * prim[PPRES]
         return eos.pressure(rho, rho * prim[PPRES])
     return prim[PPRES]
 
@@ -63,6 +83,9 @@ def pressure(U: jnp.ndarray, eos: IdealGasEOS) -> jnp.ndarray:
     ke = 0.5 * (U[MX1] ** 2 + U[MX2] ** 2 + U[MX3] ** 2) / rho
     if eos.is_isothermal:
         return rho * eos.cs_isothermal**2
+    gam = mixture_gamma(eos, U, SCALAR0)
+    if gam is not None:
+        return (gam - 1.0) * (U[EGAS] - ke)
     return eos.pressure(rho, U[EGAS] - ke)
 
 
@@ -74,7 +97,12 @@ def max_signal_speed(U: jnp.ndarray, eos: IdealGasEOS) -> jnp.ndarray:
     vy = U[MX2] / rho
     vz = U[MX3] / rho
     vmag = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-    cs = eos.sound_speed(rho, pressure(U, eos))
+    P = pressure(U, eos)
+    gam = mixture_gamma(eos, U, SCALAR0)
+    if gam is not None and not eos.is_isothermal:
+        cs = jnp.sqrt(gam * P / rho)
+    else:
+        cs = eos.sound_speed(rho, P)
     return cs + vmag
 
 

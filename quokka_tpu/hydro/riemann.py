@@ -36,6 +36,9 @@ class FaceState:
     scalars: Optional[jnp.ndarray] = None  # [nscal, ...faces]
     by: jnp.ndarray | float = 0.0  # transverse B (MHD / HLLD only)
     bz: jnp.ndarray | float = 0.0
+    # per-face effective gamma (composition-dependent mixture EOS only;
+    # None selects the fixed-trait gamma paths unchanged)
+    gamma: Optional[jnp.ndarray] = None
 
     def conserved_list(self) -> list:
         comps = [self.rho, self.rho * self.u, self.rho * self.v, self.rho * self.w, self.E, self.Eint]
@@ -94,6 +97,7 @@ def hllc(
     `dw` = min transverse velocity difference (see caller).
     """
     gamma = eos.gamma
+    mix = sL.gamma is not None  # composition-dependent per-face gamma
 
     wl = jnp.sqrt(sL.rho)
     wr = jnp.sqrt(sR.rho)
@@ -108,7 +112,30 @@ def hllc(
 
     dU = sL.u - sR.u  # positive in compression
 
-    if gamma != 1.0:
+    if mix:
+        # gamma-law closed-form derivatives with the per-face mixture gamma
+        # (reference EOS::ComputeOtherDerivatives through the chem EOS)
+        def derivs(g, rho, P):
+            dedr = -P / ((g - 1.0) * rho * rho)
+            dedp = 1.0 / ((g - 1.0) * rho)
+            drdp = rho / P
+            return dedr, dedp, drdp, 0.5 * (g + 1.0)
+
+        dedr_L, dedp_L, drdp_L, G_L = derivs(sL.gamma, sL.rho, sL.P)
+        dedr_R, dedp_R, drdp_R, G_R = derivs(sR.gamma, sR.rho, sR.P)
+
+        e_L = sL.Eint / sL.rho
+        e_R = sR.Eint / sR.rho
+        C_rho = 0.5 * (e_L + e_R + sL.rho * dedr_L + sR.rho * dedr_R)
+        C_P = 0.5 * (e_L * drdp_L + e_R * drdp_R + sL.rho * dedp_L + sR.rho * dedp_R)
+
+        cs_exp = H_t - 0.5 * vsq_t - C_rho
+        cs_avg = 0.5 * (sL.cs + sR.cs)
+        cs_t = jnp.where(cs_exp > 0.0, jnp.sqrt(jnp.abs(cs_exp) / C_P), cs_avg)
+
+        s_NL = 0.5 * G_L * jnp.maximum(dU, 0.0)
+        s_NR = 0.5 * G_R * jnp.maximum(dU, 0.0)
+    elif gamma != 1.0:
         dedr_L, dedp_L, drdp_L, _, G_L = eos.other_derivatives(sL.rho, sL.P)
         dedr_R, dedp_R, drdp_R, _, G_R = eos.other_derivatives(sR.rho, sR.P)
 

@@ -29,7 +29,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from ..eos import K_BOLTZMANN_CGS, M_U_CGS
+from ..eos import K_BOLTZMANN_CGS, M_U_CGS, IdealGasEOS
 from ..indices import EGAS, EINT, MX1, MX2, MX3, RHO, SCALAR0
 from .chemistry import PrimordialNetwork, backward_euler_newton
 
@@ -173,3 +173,56 @@ def strang_chemistry_step(
     rho_i_new = number_densities_to_partial_densities(nden_new, network)
     U = U.at[SCALAR0:SCALAR0 + ns].set(rho_i_new)
     return U, ok
+
+
+@dataclass(frozen=True)
+class MixtureHydroEOS(IdealGasEOS):
+    """Composition-aware gamma-law mixture EOS for the HYDRO solve.
+
+    The reference routes every hydro EOS call (cons<->prim pressure, sound
+    speed, Riemann interface states) through the chemistry EOS when the
+    network is compiled in (``src/hydro/EOS.hpp:82-112``); with fixed
+    traits an H2-rich gas gets the wrong gamma (mixture gamma -> 1.4).
+    This subclass keeps every `IdealGasEOS` method as the COMPOSITION-FREE
+    fallback (used where no species data is in scope -- e.g. radiation
+    coupling) and adds `gamma_of_scalars`, which the hydro kernels call
+    with the state's species partial-density block to get the per-cell
+    (or per-face) effective gamma:
+
+        gamma_eff = 1 + n_tot / sum_i n_i/(gamma_i - 1)
+
+    gamma_eff depends only on composition RATIOS, so it is invariant under
+    the code-units density scaling (the mass scalars may be in code
+    units)."""
+
+    network: PrimordialNetwork = PrimordialNetwork()
+
+    @property
+    def n_species(self) -> int:
+        return self.network.n_species
+
+    def gamma_of_scalars(self, rho_i: jnp.ndarray) -> jnp.ndarray:
+        """Per-cell effective gamma from the species partial densities
+        [n_species, ...]; cells with degenerate composition (all species
+        at/below zero) fall back to the trait gamma."""
+        shape = (-1,) + (1,) * (rho_i.ndim - 1)
+        m = jnp.asarray(self.network.masses, rho_i.dtype).reshape(shape)
+        gi = jnp.asarray(_species_gammas(self.network), rho_i.dtype
+                         ).reshape(shape)
+        nden = jnp.maximum(rho_i, 0.0) / m  # per-m_u units: ratios only
+        ntot = jnp.sum(nden, axis=0)
+        cv = jnp.sum(nden / (gi - 1.0), axis=0)
+        ok = cv > 0.0
+        return jnp.where(
+            ok, 1.0 + ntot / jnp.where(ok, cv, 1.0),
+            jnp.asarray(self.gamma, rho_i.dtype),
+        )
+
+    def mu_of_scalars(self, rho_i: jnp.ndarray) -> jnp.ndarray:
+        """Per-cell mean molecular weight [g] from partial densities
+        (composition ratios only; for temperature diagnostics)."""
+        shape = (-1,) + (1,) * (rho_i.ndim - 1)
+        m = jnp.asarray(self.network.masses, rho_i.dtype).reshape(shape)
+        nden = jnp.maximum(rho_i, 0.0) / m
+        ntot = jnp.maximum(jnp.sum(nden, axis=0), 1e-30)
+        return jnp.sum(nden * m, axis=0) / ntot * M_U_CGS

@@ -71,6 +71,7 @@ class PoolLevelRadiation:
         self.opts = dataclasses.replace(base, use_pallas=False)
         self.rad_start = sim.layout.rad_start
         self.chunk = sim.pool_chunk
+        self._substeps = {}
         self._build()
 
     def _build(self):
@@ -144,9 +145,15 @@ class PoolLevelRadiation:
             }
             return pa.slice_tile_faces(flat, g, ts)
 
-        def make_substep(_unused=True):
-            def substep(U, nbr, org, ps, po, ppad_old, ppad_new,
-                        th_a, th_b, time, dt):
+        def make_substep(kind: str, restrict_inline: bool):
+            """kind = parent-context representation (see
+            `hierarchy._get_pool_step`); `restrict_inline` restricts the
+            transport faces to the parent resolution per substep (the
+            chunked leaf-level memory mode -- reorders the subcycle sum's
+            rounding vs the dense path, so it is used only where no
+            bitwise-parity claim is made)."""
+
+            def substep(U, nbr, org, ps, po, ctx, th_a, th_b, time, dt):
                 dt = jnp.asarray(dt, U.dtype)
                 time = jnp.asarray(time, U.dtype)
                 T = U.shape[0]
@@ -162,28 +169,57 @@ class PoolLevelRadiation:
 
                 rad_src = jax.vmap(rad_src_of)(org)
 
-                def prelerp(theta):
-                    pp = (1.0 - theta) * ppad_old + theta * ppad_new
-                    return (pp[:, rad_start:] if parent_pool
-                            else pp[rad_start:])
+                if kind == "pool":
+                    (Uo_p, Un_p, nbr_p, org_p, tha, thb, gpo, gpn) = ctx
+                    gpa = ((1.0 - tha) * gpo + tha * gpn)[rad_start:]
+                    gpb = ((1.0 - thb) * gpo + thb * gpn)[rad_start:]
+                    Uo_r = Uo_p[:, rad_start:]
+                    Un_r = Un_p[:, rad_start:]
+                    sla = tp.slice_slabs(Uo_r, g)
+                    slb = tp.slice_slabs(Un_r, g)
 
-                def backdrop(ppr, org_r, ps_r, po_r):
-                    if parent_pool:
-                        return tp.make_backdrop_from_pool(
-                            ppr, ps_r, po_r, ts, g, g, active
+                    def backdrop(theta, org_c, ps_c, po_c):
+                        rows = jnp.maximum(ps_c, 0)
+                        p_old = tp.assemble_padded(
+                            Uo_r[rows], nbr_p[rows],
+                            tp.make_backdrop_from_dense(
+                                gpa, org_p[rows], ts, g, g, active),
+                            sla, g,
                         )
-                    return tp.make_backdrop_from_dense(
-                        ppr, org_r, ts, g, g, active
-                    )
+                        p_new = tp.assemble_padded(
+                            Un_r[rows], nbr_p[rows],
+                            tp.make_backdrop_from_dense(
+                                gpb, org_p[rows], ts, g, g, active),
+                            slb, g,
+                        )
+                        ppt = (1.0 - theta) * p_old + theta * p_new
+                        loc = jnp.arange(ps_c.shape[0], dtype=jnp.int32)
+                        return tp.make_backdrop_from_pool(
+                            ppt, loc, po_c, ts, g, g, active
+                        )
+                else:
+                    ppad_old, ppad_new = ctx
 
-                def transport(Up_rad, ppr):
-                    """(div interior, [0..t] faces) of the HLL transport
-                    sweep; chunked when configured."""
+                    def backdrop(theta, org_c, ps_c, po_c):
+                        pp = (1.0 - theta) * ppad_old + theta * ppad_new
+                        ppr = (pp[:, rad_start:] if kind == "poolpad"
+                               else pp[rad_start:])
+                        if kind == "poolpad":
+                            return tp.make_backdrop_from_pool(
+                                ppr, ps_c, po_c, ts, g, g, active
+                            )
+                        return tp.make_backdrop_from_dense(
+                            ppr, org_c, ts, g, g, active
+                        )
+
+                def transport(Up_rad, theta):
+                    """(div interior, faces) of the HLL transport sweep;
+                    chunked when configured."""
                     slabs = tp.slice_slabs(Up_rad, g)
 
                     def chunk_body(args):
                         u_c, nbr_c, org_c, ps_c, po_c = args
-                        bd = backdrop(ppr, org_c, ps_c, po_c)
+                        bd = backdrop(theta, org_c, ps_c, po_c)
                         ug = tp.assemble_padded(u_c, nbr_c, bd, slabs, g)
                         fl = jax.vmap(
                             lambda x: compute_rad_fluxes(x, 0, opts, active, dx)
@@ -191,7 +227,10 @@ class PoolLevelRadiation:
                         div = jax.vmap(
                             lambda f: interior(rad_div_fluxes(f, dx), ng3)
                         )(fl)
-                        return div, faces_of(fl, u_c.shape[0])
+                        faces = faces_of(fl, u_c.shape[0])
+                        if restrict_inline:
+                            faces = pa.restrict_tile_faces(faces, active)
+                        return div, faces
 
                     if chunk:
                         Nc = T // chunk
@@ -207,8 +246,7 @@ class PoolLevelRadiation:
                         )
                     return chunk_body((Up_rad, nbr, org, ps, po))
 
-                Ug_args0 = prelerp(th_a)
-                divF0, own0 = transport(U[:, rad_start:], Ug_args0)
+                divF0, own0 = transport(U[:, rad_start:], th_a)
                 R0 = rad_part(U)
                 R1 = jax.vmap(
                     lambda r, d: predict_step(r, d, dt, opts)
@@ -216,7 +254,7 @@ class PoolLevelRadiation:
                 U1 = with_rad(U, R1)
                 U1, _ = source_update(U1, rad_src, dt, 1)
 
-                divF1, own1 = transport(U1[:, rad_start:], prelerp(th_b))
+                divF1, own1 = transport(U1[:, rad_start:], th_b)
                 R_new = jax.vmap(
                     lambda r0, r1, d0, d1: add_fluxes_rk2(
                         r0, r1, d0, d1, dt, opts
@@ -229,7 +267,13 @@ class PoolLevelRadiation:
                 return U2, own
             return substep
 
-        self._substep = jax.jit(make_substep(True))
+        def get_substep(kind: str, restrict_inline: bool):
+            key = (kind, restrict_inline)
+            if key not in self._substeps:
+                self._substeps[key] = jax.jit(make_substep(*key))
+            return self._substeps[key]
+
+        self._get_substep = get_substep
 
         def finalize(own_sum):
             return pa.restrict_tile_faces(own_sum, active)
@@ -250,20 +294,24 @@ class PoolLevelRadiation:
         return n
 
     def subcycle(self, U, time: float, dt_level: float, nbr, org, ps, po,
-                 amask, ppad_old, ppad_new, th0: float, th1: float,
+                 amask, ctx_kind: str, ctx_arrs, th0: float, th1: float,
                  with_own: bool = True) -> Tuple[jnp.ndarray, Dict, Dict]:
         """Advance the pool's radiation by dt_level; returns
         (U, own-resolution time-avg faces | None, parent-restricted
-        faces)."""
+        faces). Leaf levels under chunked execution accumulate the faces
+        pre-restricted (memory: the full-resolution face accumulator of a
+        benchmark-scale finest level would rival the state itself)."""
         nsub = self.n_substeps(dt_level)
         dt_r = dt_level / nsub
         dtype = U.dtype
+        restrict_inline = bool(self.chunk) and not with_own
+        substep = self._get_substep(ctx_kind, restrict_inline)
         own_sum = None
         for i in range(nsub):
             th_a = th0 + (th1 - th0) * (i / nsub)
             th_b = th0 + (th1 - th0) * ((i + 1) / nsub)
-            U, own = self._substep(
-                U, nbr, org, ps, po, ppad_old, ppad_new,
+            U, own = substep(
+                U, nbr, org, ps, po, ctx_arrs,
                 jnp.asarray(th_a, dtype), jnp.asarray(th_b, dtype),
                 time + i * dt_r, dt_r,
             )
@@ -271,5 +319,7 @@ class PoolLevelRadiation:
                 own_sum = {d: F / nsub for d, F in own.items()}
             else:
                 own_sum = {d: own_sum[d] + F / nsub for d, F in own.items()}
+        if restrict_inline:
+            return U, None, own_sum
         restr = self._restrict_faces(own_sum)
         return U, (own_sum if with_own else None), restr

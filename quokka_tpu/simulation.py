@@ -97,6 +97,27 @@ class Simulation:
         self.layout = problem.physics.layout()
         self.eos: IdealGasEOS = problem.make_eos()
 
+        # chemistry-coupled hydro EOS (reference ``src/hydro/EOS.hpp:82-112``:
+        # with the network compiled in, EVERY hydro EOS call -- pressure,
+        # sound speed, Riemann interface states -- sees the composition):
+        # wrap the trait EOS so the hydro kernels derive the per-cell
+        # effective gamma from the advected species partial densities.
+        # `hydro.chem_eos = 0` restores fixed-trait behavior.
+        if (
+            bool(hpp.get_int("chemistry.enabled", 0))
+            and bool(hpp.get_int("hydro.chem_eos", 1))
+            and getattr(problem, "chemistry_network", None) is not None
+        ):
+            import dataclasses as _dc
+
+            from .microphysics.chem_coupling import MixtureHydroEOS
+
+            self.eos = MixtureHydroEOS(
+                network=problem.chemistry_network,
+                **{f.name: getattr(self.eos, f.name)
+                   for f in _dc.fields(IdealGasEOS)},
+            )
+
         ng = 4  # nghost_cc: PPM + flattening (reference src/simulation.hpp:363)
         self.ng = ghost_widths(self.grid, ng)
         self.periodic = tuple(problem.bcs.is_periodic(d) for d in range(3))
@@ -118,13 +139,15 @@ class Simulation:
             use_dual_energy=bool(hpp.get_int("hydro.use_dual_energy", 1)),
             rk_order=hpp.get_int("hydro.rk_integrator_order", 2),
             # fused Pallas sweep kernels: default on for TPU backends, off on
-            # CPU (where Pallas would run interpreted)
+            # CPU (where Pallas would run interpreted); forced off under the
+            # chemistry-coupled mixture EOS (the sweep kernels hard-code the
+            # trait gamma)
             use_pallas=bool(
                 hpp.get_int(
                     "hydro.use_pallas",
                     0 if jax.default_backend() == "cpu" else 1,
                 )
-            ),
+            ) and not hasattr(self.eos, "gamma_of_scalars"),
             # kernel-fused divergence update (pointwise common-path RK
             # apply). Identical numerics up to XLA FMA contraction -- the
             # same reassociation freedom the reference forfeits by
