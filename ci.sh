@@ -34,7 +34,36 @@ FAST_TESTS=(
 )
 
 run_fast()   { python -m pytest "${FAST_TESTS[@]}" -q -x; }
-run_full()   { python -m pytest tests/ -q; }
+
+# full tier: file-level parallel shards. Each pytest process builds its
+# own virtual 8-device CPU mesh (per-process XLA clients are independent),
+# so shards are safe to run concurrently; JOBS bounds host oversubscription
+# and CI_BUDGET_MIN bounds the wall clock (a shard that exceeds it fails
+# the tier rather than silently never finishing -- the round-2 suite had
+# quietly grown past an hour serial).
+run_full() {
+  local ncpu
+  ncpu=$(nproc)
+  local jobs="${CI_JOBS:-$(( ncpu > 4 ? 4 : ncpu ))}"
+  local budget_min="${CI_BUDGET_MIN:-30}"
+  mapfile -t files < <(ls tests/test_*.py)
+  local pids=() logs=() i=0
+  mkdir -p /tmp/quokka_ci
+  for ((j=0; j<jobs; j++)); do
+    local group=()
+    for ((k=j; k<${#files[@]}; k+=jobs)); do group+=("${files[k]}"); done
+    local log="/tmp/quokka_ci/shard$j.log"
+    logs+=("$log")
+    timeout "$((budget_min*60))" python -m pytest "${group[@]}" -q       > "$log" 2>&1 &
+    pids+=($!)
+  done
+  local rc=0
+  for ((j=0; j<jobs; j++)); do
+    if ! wait "${pids[j]}"; then rc=1; fi
+    tail -2 "${logs[j]}" | sed "s/^/[shard $j] /"
+  done
+  return $rc
+}
 run_golden() { python -m pytest tests/test_golden_regression.py -q; }
 run_debug()  {
   # eager leg: disable jit for a representative subset (slow per-op

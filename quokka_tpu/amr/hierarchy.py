@@ -1043,21 +1043,35 @@ class AMRSimulation(Simulation):
 
     def _get_pool_pad(self, l: int):
         """Jitted ghost fill of pool level l's FULL state at parent-window
-        time theta (backdrop from the parent's padded old/new pair)."""
+        time theta (backdrop from the parent's padded old/new pair). The
+        per-tile backdrop prolongation runs in lax.map chunks -- vmapped
+        whole-pool it allocates ~6 prolong intermediates per tile and
+        OOMs at benchmark scale."""
         key = ("pool_pad", l)
         if key not in self._pool_jits:
             parent_pool = self._is_pool(l - 1)
             ts = self.tile_shape
             g = self._g
             active = self.grid.active_axes
+            chunk = max(self.pool_chunk, 16)
 
             def pad(U, nbr, org, ps, po, ppad_old, ppad_new, theta):
                 pp = (1.0 - theta) * ppad_old + theta * ppad_new
-                if parent_pool:
-                    bd = tp.make_backdrop_from_pool(pp, ps, po, ts, g, g, active)
-                else:
-                    bd = tp.make_backdrop_from_dense(pp, org, ts, g, g, active)
-                return tp.fill_pool_ghosts(U, nbr, bd, g)
+                slabs = tp.slice_slabs(U, g)
+
+                def body(args):
+                    u_c, nbr_c, org_c, ps_c, po_c = args
+                    if parent_pool:
+                        bd = tp.make_backdrop_from_pool(
+                            pp, ps_c, po_c, ts, g, g, active
+                        )
+                    else:
+                        bd = tp.make_backdrop_from_dense(
+                            pp, org_c, ts, g, g, active
+                        )
+                    return tp.assemble_padded(u_c, nbr_c, bd, slabs, g)
+
+                return sp._chunked_map(body, (U, nbr, org, ps, po), chunk)
 
             self._pool_jits[key] = jax.jit(pad)
         return self._pool_jits[key]
