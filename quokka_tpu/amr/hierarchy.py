@@ -540,10 +540,27 @@ class AMRSimulation(Simulation):
         if sh is not None and self.level_pool[l] is not None:
             self.level_pool[l].U = jax.device_put(self.level_pool[l].U, sh)
 
+    def _regrid_ctx(self, l: int):
+        """Parent context for padding LEVEL-l tiles at the CURRENT time
+        (regrid/tag path; see `sparse.current_backdrop_fn`). The lazy
+        "pool" kind keeps the benchmark-scale first pool level from ever
+        materializing a full padded array."""
+        lp = l - 1
+        if not self._is_pool(lp):
+            return ("dense", (self._get_dense_pad(lp)(self.level_U[lp]),))
+        if self.pool_chunk and not self._is_pool(lp - 1):
+            stp = self.level_pool[lp]
+            nbr_p, org_p, _, _ = self._pool_pad_args(lp)
+            gp_pad = self._get_dense_pad(lp - 1)(self.level_U[lp - 1])
+            return ("pool", (stp.U, nbr_p, org_p, gp_pad))
+        return ("poolpad", (self._padded_current(lp),))
+
     def _pool_octant_tags(self, l: int) -> np.ndarray:
         """[T, 2, 2, 2] bool: tagged octants of pool level l's tiles
         (buffered by n_error_buf via exact cross-tile dilation on the
-        ghost-padded tags)."""
+        ghost-padded tags). The padded tiles are assembled and consumed
+        PER CHUNK -- the full padded pool (8x the state at benchmark
+        scale, with lane padding on top) is never materialized."""
         st = self.level_pool[l]
         g = self._g
         if self.n_error_buf > g:
@@ -551,15 +568,20 @@ class AMRSimulation(Simulation):
                 f"amr.n_error_buf {self.n_error_buf} exceeds the pool ghost "
                 f"width {g} (cross-tile tag dilation would be inexact)"
             )
-        padded = self._padded_current(l)
-        key = ("octags", l)
+        kind, arrs = self._regrid_ctx(l)
+        key = ("octags", l, kind)
         if key not in self._pool_jits:
             problem = self.problem
             grid = self.level_grids[l]
             n_buf = self.n_error_buf
             ts = self.tile_shape
+            active = self.grid.active_axes
+            chunk = max(self.pool_chunk, 16) if self.pool_chunk else 64
 
-            def fn(padded_pool, origins):
+            def fn(U, nbr, org, ps, po, ctx_arrs):
+                mk = sp.current_backdrop_fn(kind, ctx_arrs, ts, g, active)
+                slabs = tp.slice_slabs(U, g)
+
                 def one(up, o):
                     tags = problem.error_est_local(up, grid, l, o)
                     tags = ops.dilate(tags, n_buf, (0, 1, 2), (False,) * 3)
@@ -568,10 +590,17 @@ class AMRSimulation(Simulation):
                         2, ts[0] // 2, 2, ts[1] // 2, 2, ts[2] // 2
                     ).any(axis=(1, 3, 5))
 
-                return jax.vmap(one)(padded_pool, origins)
+                def body(args):
+                    u_c, nbr_c, org_c, ps_c, po_c = args
+                    bd = mk(org_c, ps_c, po_c)
+                    up = tp.assemble_padded(u_c, nbr_c, bd, slabs, g)
+                    return jax.vmap(one)(up, org_c)
+
+                return sp._chunked_map(body, (U, nbr, org, ps, po), chunk)
 
             self._pool_jits[key] = jax.jit(fn)
-        octs = self._pool_jits[key](padded, st.meta.origin_dev)
+        nbr, org, ps, po = self._pool_pad_args(l)
+        octs = self._pool_jits[key](st.U, nbr, org, ps, po, arrs)
         return np.asarray(octs)[: st.meta.n_active]
 
     def _regrid_pool_level(self, l: int) -> bool:
@@ -641,14 +670,19 @@ class AMRSimulation(Simulation):
         meta = tp.TileMeta.build(child_shape, ts, tiles, self.periodic,
                                  capacity=cap)
 
-        ppad = self._padded_current(l)
         if self._is_pool(l):
             ps, po = tp.parent_linkage(meta, self.level_pool[l].meta)
-            new_data = sp.prolong_tiles_from_pool(ppad, ps, po, ts, g, active)
+            kind, arrs = self._regrid_ctx(l)
+            nbr_l, org_l, ps_l, po_l = self._pool_pad_args(l)
+            new_data = sp.prolong_tiles_from_pool_lazy(
+                self.level_pool[l].U, nbr_l, org_l, ps_l, po_l, kind, arrs,
+                ps, po, ts, g, active,
+                chunk=max(self.pool_chunk, 16) if self.pool_chunk else 64,
+            )
         else:
             ps = po = None
             new_data = sp.prolong_tiles_from_dense(
-                ppad, meta.origin_dev, ts, g, active
+                self._padded_current(l), meta.origin_dev, ts, g, active
             )
         if old is not None and old.meta.n_active:
             remap = np.full(meta.capacity, -1, np.int32)

@@ -99,6 +99,76 @@ def prolong_tiles_from_dense(parent_padded, origin_dev, tile_shape,
     return _chunked_map(body, (origin_dev,), chunk)
 
 
+def current_backdrop_fn(kind, arrs, ts, g, active):
+    """Per-chunk prolonged-parent backdrop provider at the CURRENT time
+    (regrid/tag path): ``mk(org_c, ps_c, po_c) -> backdrop chunk``.
+
+    kind/arrs mirror the hot loop's parent-context representations
+    (`AMRSimulation._get_pool_step`):
+    - "dense":   arrs = (dense ghost-padded parent,)
+    - "poolpad": arrs = (materialized padded parent pool,)
+    - "pool":    lazy, arrs = (U_p, nbr_p, org_p, gp_pad) -- the parent's
+      padded tiles are assembled ON DEMAND per chunk from the parent pool
+      + its own DENSE parent, so the benchmark-scale first pool level
+      never materializes a full padded array (identical expressions to
+      the materialized scheme, evaluated per chunk)."""
+    if kind == "dense":
+        (pp,) = arrs
+
+        def mk(org_c, ps_c, po_c):
+            return tp.make_backdrop_from_dense(pp, org_c, ts, g, g, active)
+    elif kind == "poolpad":
+        (pp,) = arrs
+
+        def mk(org_c, ps_c, po_c):
+            return tp.make_backdrop_from_pool(pp, ps_c, po_c, ts, g, g,
+                                              active)
+    else:  # lazy "pool" (parent's parent dense by the lazy-gate invariant)
+        U_p, nbr_p, org_p, gp_pad = arrs
+        slabs_p = tp.slice_slabs(U_p, g)
+
+        def mk(org_c, ps_c, po_c):
+            rows = jnp.maximum(ps_c, 0)
+            bdp = tp.make_backdrop_from_dense(
+                gp_pad, org_p[rows], ts, g, g, active
+            )
+            p_pad = tp.assemble_padded(
+                U_p[rows], jnp.take(nbr_p, rows, axis=0), bdp, slabs_p, g
+            )
+            loc = jnp.arange(ps_c.shape[0], dtype=jnp.int32)
+            return tp.make_backdrop_from_pool(p_pad, loc, po_c, ts, g, g,
+                                              active)
+    return mk
+
+
+def prolong_tiles_from_pool_lazy(U_l, nbr_l, org_l, ps_l, po_l, kind, arrs,
+                                 child_ps, child_po, ts, g, active,
+                                 chunk: int = 64):
+    """New-child-tile data prolonged from POOL parent level l WITHOUT
+    materializing l's full padded pool: per chunk of child tiles, assemble
+    the padded parent tiles (interior + 26-dir neighbor slabs + backdrop
+    from l's own parent context `kind`/`arrs`), then take the prolonged
+    interior. Bitwise-equal to `prolong_tiles_from_pool` on the
+    materialized padded pool: the donors carry every coarse cell the
+    limited-linear slopes read, and `ops.prolong` is purely local."""
+    slabs_l = tp.slice_slabs(U_l, g)
+    mk = current_backdrop_fn(kind, arrs, ts, g, active)
+
+    def body(args):
+        ps_c, po_c = args
+        rows = jnp.maximum(ps_c, 0)
+        bd = mk(org_l[rows], ps_l[rows], po_l[rows])
+        p_pad = tp.assemble_padded(
+            U_l[rows], jnp.take(nbr_l, rows, axis=0), bd, slabs_l, g
+        )
+        loc = jnp.arange(ps_c.shape[0], dtype=jnp.int32)
+        fine = tp.make_backdrop_from_pool(p_pad, loc, po_c, ts, g, g, active)
+        sl = tuple(slice(g, fine.shape[2 + d] - g) for d in range(3))
+        return fine[(slice(None), slice(None)) + sl]
+
+    return _chunked_map(body, (child_ps, child_po), chunk)
+
+
 def prolong_tiles_from_pool(parent_padded_pool, parent_slot, parent_off,
                             tile_shape, gp, active_axes, chunk: int = 64):
     hc = 1
