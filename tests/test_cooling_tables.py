@@ -157,3 +157,36 @@ verbose = 0
 """)
     with pytest.raises(ValueError, match="cooling.table_file"):
         Simulation(CoolBox(), pp_bad)
+
+
+def test_cloudy_reader_byte_real_file():
+    """Read a BYTE-REAL cloudy_cooling_tools file (the ISRF grain table
+    the reference vendors at ``extern/cooling/isrf_1000Go_grains.h5``,
+    committed verbatim under tests/data): root datasets Cooling/Heating/
+    MMW/Parameter1/Temperature, with MMW and Parameter1 stored BIG-endian
+    ('>f8') -- exactly what `initialize_cloudy_data`
+    (``src/cooling/CloudyDataReader.cpp:40-210``) consumes."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "isrf_1000Go_grains.h5")
+    tab = ct.read_cloudy_tables(path)
+    # real-file invariants (checked against h5dump of the vendored file)
+    assert tab.log_nH.shape == (25,)
+    assert tab.log_T.shape == (161,)
+    assert tab.log_cool.shape == (25, 161)
+    np.testing.assert_allclose(float(tab.log_T[0]), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(float(tab.log_T[-1]), 9.0, rtol=1e-12)
+    mmw = np.asarray(tab.mmw)
+    assert mmw.min() > 0.5 and mmw.max() < 1.4  # physical mu range
+    # evaluation path: net cooling at ISM-like conditions is finite and
+    # monotone-ish in T at fixed density
+    rho = jnp.asarray(ct.MH_GRACKLE * 1.0)  # nH ~ 1 cm^-3
+    for T in (1.0e2, 1.0e4, 1.0e6):
+        lam = ct.cooling_rate(rho, jnp.asarray(T), tab)
+        assert np.isfinite(float(lam))
+    # T(Egas) inversion through the big-endian mu table
+    T0 = 3.0e3
+    e = ct.egas_from_tgas(rho, jnp.asarray(T0), GAMMA, tab)
+    T1 = ct.tgas_from_egas(rho, e, GAMMA, tab)
+    np.testing.assert_allclose(float(T1), T0, rtol=1e-4)
