@@ -176,14 +176,64 @@ def _region(tile_shape, g, d3):
     return tuple(src), tuple(dst)
 
 
+import os as _os
+
+# Above this many slab bytes, `slice_slabs` returns a LAZY handle and the
+# ghost assembly gathers edge sub-blocks straight out of the pool array
+# with vmapped dynamic_slice instead: materialized slab pools cost ~0.95x
+# the state at 32^3 tiles (2.4x at 16^3) and XLA may lane-pad the short
+# slab dims several-fold on TPU -- at benchmark scale (20k+ tiles) that
+# alone exceeds HBM.
+_SLAB_MAX_BYTES = int(
+    _os.environ.get("QUOKKA_POOL_SLAB_MAX_BYTES", str(512 * 1024 * 1024))
+)
+
+
+def _slab_bytes(U_pool: jnp.ndarray, g: int) -> int:
+    ts = U_pool.shape[2:]
+    cells = 0
+    for d3 in DIRS:
+        n = 1
+        for d, a in enumerate(d3):
+            n *= ts[d] if a == 0 else g
+        cells += n
+    return U_pool.shape[0] * U_pool.shape[1] * cells * U_pool.dtype.itemsize
+
+
 def slice_slabs(U_pool: jnp.ndarray, g: int):
     """The 26 neighbor-edge slab pools the ghost assembly gathers from
-    (pre-sliced once per fill so chunked assembly reuses them)."""
+    (pre-sliced once per fill so chunked assembly reuses them). Above
+    `QUOKKA_POOL_SLAB_MAX_BYTES` this returns a lazy handle instead and
+    `assemble_padded` gathers the slabs per chunk directly from the pool
+    (identical values, no full-pool slab arrays)."""
+    if _slab_bytes(U_pool, g) > _SLAB_MAX_BYTES:
+        return ("lazy", U_pool, g)
     lead = (slice(None), slice(None))
     ts = U_pool.shape[2:]
     return tuple(
         U_pool[lead + _region(ts, g, d3)[0]] for d3 in DIRS
     )
+
+
+def gather_slab(U_pool: jnp.ndarray, rows: jnp.ndarray, d3, g: int):
+    """Direction-d3 edge slab of tiles `rows`, gathered as sub-blocks via
+    vmapped dynamic_slice -- reads only the slab bytes from HBM; no
+    full-pool slab array is ever materialized. Bitwise-equal to
+    `take_tiles(slice_slabs(U)[q], rows)`."""
+    ts = U_pool.shape[2:]
+    src, _ = _region(ts, g, d3)
+    starts = tuple(s.start for s in src)
+    sizes = tuple(s.stop - s.start for s in src)
+    nv = U_pool.shape[1]
+
+    def pick(i):
+        z = jnp.zeros((), i.dtype)
+        return lax.dynamic_slice(
+            U_pool, (i, z, *(jnp.full((), st, i.dtype) for st in starts)),
+            (1, nv) + sizes,
+        )[0]
+
+    return jax.vmap(pick)(rows)
 
 
 def take_tiles(X: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -204,6 +254,7 @@ def assemble_padded(U_tiles: jnp.ndarray, nbr_rows: jnp.ndarray,
     neighbor table indexes the full pool)."""
     T = U_tiles.shape[0]
     ts = U_tiles.shape[2:]
+    lazy = isinstance(slabs, tuple) and len(slabs) == 3 and slabs[0] == "lazy"
     lead = (slice(None), slice(None))
     out = backdrop
     ctr = tuple(slice(g, g + t) for t in ts)
@@ -211,7 +262,11 @@ def assemble_padded(U_tiles: jnp.ndarray, nbr_rows: jnp.ndarray,
     for q, d3 in enumerate(DIRS):
         _, dst = _region(ts, g, d3)
         idx = nbr_rows[:, q]
-        gathered = take_tiles(slabs[q], jnp.maximum(idx, 0))
+        if lazy:
+            gathered = gather_slab(slabs[1], jnp.maximum(idx, 0), d3,
+                                   slabs[2])
+        else:
+            gathered = take_tiles(slabs[q], jnp.maximum(idx, 0))
         ok = (idx >= 0).reshape(T, 1, 1, 1, 1)
         out = out.at[lead + dst].set(
             jnp.where(ok, gathered, out[lead + dst])

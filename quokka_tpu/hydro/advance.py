@@ -563,13 +563,36 @@ def _sum_divs(divs: dict) -> jnp.ndarray:
 
 
 def _apply_from_divs(U0_int, Ug_old, div, dvel, dt, ng,
-                     opts: HydroOptions) -> jnp.ndarray:
+                     opts: HydroOptions, redo_mask=None,
+                     bc_kinds: dict | None = None) -> jnp.ndarray:
     """Pointwise flux application from the kernel-fused divergence totals:
     bit-identical to `rhs_from_fluxes` + `add_internal_energy_pdv` + the
     RK predict, but with zero XLA rolls (everything fuses into one
-    elementwise pass)."""
+    elementwise pass).
+
+    `redo_mask` (padded bool): FOFC-redo cells use the central-difference
+    cell-velocity divergence for the PdV source instead of the
+    face-velocity one (`add_internal_energy_pdv`'s redo branch, reference
+    ``src/hydro/hydro_system.hpp:777-815``)."""
+    from ..stencil import sh_bc
+
     P = euler.pressure(Ug_old, opts.eos)
-    rhs = div.at[EINT].add(-P * dvel)
+    dv = dvel
+    if redo_mask is not None:
+        div_cc = None
+        for d in opts.active_axes:
+            vel = Ug_old[MX1 + d] / Ug_old[RHO]
+            bc_axis = None if bc_kinds is None else bc_kinds.get(d)
+            if bc_axis is None:
+                vp, vm = sh(vel, 1, d), sh(vel, -1, d)
+            else:
+                lo_k, hi_k = bc_axis
+                vp = sh_bc(vel, 1, d, lo_k, hi_k, odd=True)
+                vm = sh_bc(vel, -1, d, lo_k, hi_k, odd=True)
+            c = 0.5 * (vp - vm) / opts.dx[d]
+            div_cc = c if div_cc is None else div_cc + c
+        dv = jnp.where(redo_mask, div_cc, dvel)
+    rhs = div.at[EINT].add(-P * dv)
     return U0_int + dt * interior(rhs, ng)
 
 
@@ -800,6 +823,141 @@ def _advance_hydro_rk2_fused(
     return U2, {"n_fofc": n1 + n2}
 
 
+def _advance_hydro_rk2_lean(
+    U: jnp.ndarray,
+    dt,
+    opts: HydroOptions,
+    fill_fn,
+    ng,
+    periodic,
+    mask_fill_fn=None,
+    fill_fn2=None,
+    redo_any_fn=None,
+    bc_kinds: dict | None = None,
+):
+    """RK2-SSP hydro step in the LEAN divergence formulation for large
+    domains (512^3-class single-chip).
+
+    The sweep kernels emit ONLY accumulated divergence totals -- no face
+    array ever reaches HBM, in either RK stage or either FOFC branch:
+
+    - stage 1: div1 = sum_d div(F1_d), applied pointwise;
+    - stage 2: by linearity of the divergence, the classic time-averaged
+      update equals U + dt/2 * (div1 + div2); the kernels ADD div2 onto
+      div1 in place (aliased accumulators), so the peak working set is
+      state + one divergence pair (the classic layout's per-axis face
+      dicts are 3x(nv+1) fields -- 11 GB at 512^3 f32, unfittable);
+    - FOFC redoes re-sweep with the flag mask as a kernel input: the
+      first-order blend (reference `replaceFluxes`) happens in VMEM, so
+      even the cond fallback branches never materialize faces. Stage-2's
+      blended average splits exactly: with G1 = blend(F1, fo, m1|m2) and
+      G2 = blend(F2(U1), fo(U0), m2), where(m2f, fo, 0.5*(F1b+F2)) ==
+      0.5*(G1+G2) (flagged faces average fo with itself).
+
+    Numerics: identical flux values and blend decisions as the classic
+    fused path; only the divergence/average association differs (classic
+    divides the averaged flux, lean averages the divergences), i.e.
+    agreement to f32 roundoff, exact conservation either way (divergence
+    sums telescope)."""
+    from jax import lax as _lax
+
+    from .pallas_sweep import compute_fluxes_pallas_div
+
+    eos = opts.eos
+    if mask_fill_fn is None:
+        mask_fill_fn = lambda m: _pad_mask(m, ng, periodic)
+    if redo_any_fn is None:
+        redo_any_fn = jnp.any
+    if fill_fn2 is None:
+        fill_fn2 = fill_fn
+    dtype = U.dtype
+
+    def finalize(Ux):
+        Ux = euler.enforce_limits(
+            Ux, eos, opts.density_floor, opts.temperature_floor,
+            opts.n_scalars,
+        )
+        if opts.use_dual_energy and not eos.is_isothermal:
+            Ux = euler.sync_dual_energy(Ux)
+        return Ux
+
+    # ---- stage 1
+    Ug0 = fill_fn(U)
+    r1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=True,
+                                   div_only=True)
+    U1_try = _apply_from_divs(U, Ug0, r1["div"], r1["dvel"], dt, ng, opts)
+    redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
+    n1 = jnp.sum(redo1)
+    fired1 = redo_any_fn(redo1)
+    # only the BOOL mask survives across stages (the f32 kernel-input
+    # masks are derived inside each branch: full-size f32 fields with
+    # step-long lifetimes fragment HBM at 512^3)
+    m1b = jnp.logical_and(fired1, mask_fill_fn(redo1))
+
+    def _redo1_branch(_):
+        m1p = m1b.astype(dtype)
+        rb = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=True,
+                                       div_only=True, fo_mask=m1p)
+        U1b = _apply_from_divs(U, Ug0, rb["div"], rb["dvel"], dt, ng, opts,
+                               redo_mask=m1b, bc_kinds=bc_kinds)
+        return finalize(U1b), rb["div"], rb["dvel"]
+
+    U1, div1, dvel1 = _lax.cond(
+        fired1, _redo1_branch,
+        lambda _: (finalize(U1_try), r1["div"], r1["dvel"]), None,
+    )
+
+    if opts.rk_order == 1:
+        return U1, {"n_fofc": n1}
+
+    # ---- stage 2: averaged divergences, accumulated onto stage 1's
+    Ug1 = fill_fn2(U1)
+    r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, accumulate=True,
+                                   div_only=True, acc_init=(div1, dvel1))
+    U2_try = _apply_from_divs(U, Ug0, r2["div"], r2["dvel"], 0.5 * dt, ng,
+                              opts)
+    redo2 = jnp.logical_not(euler.is_state_valid(U2_try, eos))
+    n2 = jnp.sum(redo2)
+
+    def _redo2_branch(_):
+        m2b = mask_fill_fn(redo2)
+        m2p = m2b.astype(dtype)
+        mboth = jnp.logical_or(m1b, m2b).astype(dtype)
+        # G1 = blend(F1(U0), fo(U0), m1|m2); the stage-2 side G2 =
+        # blend(F2(U1), fo(U0), m2). 0.5*(G1+G2) equals the classic
+        # blended average exactly (flagged faces average fo with itself).
+        g1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=True,
+                                       div_only=True, fo_mask=mboth)
+        if max(U.shape[1:]) > 272:
+            # large domains: a 3-state kernel (hi(U1) + fo(U0) + acc
+            # windows, all double-buffered whole-sweep) exceeds VMEM, so
+            # the stage-2 blend takes its first-order fluxes from the
+            # POST-FOFC stage-1 state U1 itself (guaranteed valid by
+            # stage 1's own correction + limits) instead of U0. This is
+            # the one deliberate deviation from the reference's
+            # reuse-the-U0-FO-fluxes convenience (`src/QuokkaSimulation
+            # .hpp:1096,1247`): both adjacent cells still see the same
+            # Godunov face flux, so conservation is exact, and the
+            # donor state is the more current of the two.
+            g2 = compute_fluxes_pallas_div(
+                Ug1, opts, bc_kinds, accumulate=True, div_only=True,
+                fo_mask=m2p, acc_init=(g1["div"], g1["dvel"]),
+            )
+        else:
+            g2 = compute_fluxes_pallas_div(
+                Ug1, opts, bc_kinds, accumulate=True, div_only=True,
+                fo_mask=m2p, fo_from=Ug0,
+                acc_init=(g1["div"], g1["dvel"]),
+            )
+        U2b = _apply_from_divs(U, Ug0, g2["div"], g2["dvel"], 0.5 * dt, ng,
+                               opts, redo_mask=m2b, bc_kinds=bc_kinds)
+        return finalize(U2b)
+
+    U2 = _lax.cond(redo_any_fn(redo2), _redo2_branch,
+                   lambda _: finalize(U2_try), None)
+    return U2, {"n_fofc": n1 + n2}
+
+
 def advance_hydro_rk2(
     U: jnp.ndarray,
     dt,
@@ -853,9 +1011,31 @@ def advance_hydro_rk2(
     )
     # overall Pallas VMEM ceiling: ghost-free arrays stay unpadded, padded
     # paths grow by 2*nghost before the sweep kernels see them
-    pallas_ok = max(U.shape[1:]) + (
+    ext = max(U.shape[1:]) + (
         0 if bc_kinds is not None else 2 * opts.nghost
-    ) <= _PALLAS_MAX_DIM
+    )
+    pallas_ok = ext <= _PALLAS_MAX_DIM
+
+    # LEAN divergence mode for large domains (512^3-class): kernels emit
+    # only accumulated divergences (in-kernel sweep chunking keeps VMEM
+    # bounded; no face arrays keeps HBM bounded). Auto above the classic
+    # ceiling; QUOKKA_PALLAS_LEAN=1 forces it (tests), =0 disables.
+    _lean_pref = _os.environ.get("QUOKKA_PALLAS_LEAN", "auto")
+    _lean_max = int(_os.environ.get("QUOKKA_PALLAS_LEAN_MAX_DIM", "1088"))
+    if (
+        opts.use_pallas
+        and opts.fuse_update
+        and len(opts.active_axes) == 3
+        and U.dtype == jnp.float32
+        and not return_fluxes
+        and opts.rk_order == 2
+        and (_lean_pref == "1"
+             or (_lean_pref == "auto" and not pallas_ok and ext <= _lean_max))
+    ):
+        return _advance_hydro_rk2_lean(
+            U, dt, opts, fill_fn, ng, periodic, mask_fill_fn, fill_fn2,
+            redo_any_fn, bc_kinds,
+        )
     if (
         opts.use_pallas
         and opts.fuse_update

@@ -417,6 +417,177 @@ def _sweep_body(prim_blk, chi_blk, dminv_blk, dminw_blk, axis, opts: HydroOption
     return Fout, facevel
 
 
+_SWEEP_CHUNK = int(
+    __import__("os").environ.get("QUOKKA_PALLAS_SWEEP_CHUNK", "0")
+)
+_SWEEP_CHUNK_ABOVE = int(
+    __import__("os").environ.get("QUOKKA_PALLAS_SWEEP_CHUNK_ABOVE", "272")
+)
+
+
+def _wrap_slice(A, axis, s, e):
+    """Slice [s, e) along block spatial axis `axis`, wrapping out-of-range
+    indices around the array ends (in-VMEM roll semantics: the whole-axis
+    kernels read shifted values through jnp.roll wraparound, so chunk
+    halos at the array ends must reproduce exactly those values)."""
+    nax = A.ndim - 3 + axis
+    n = A.shape[nax]
+
+    def seg(a, b):
+        idx = [slice(None)] * A.ndim
+        idx[nax] = slice(a, b)
+        return A[tuple(idx)]
+
+    parts = []
+    if s < 0:
+        parts.append(seg(n + s, n))
+        s = 0
+    mid_e = min(e, n)
+    parts.append(seg(s, mid_e))
+    if e > n:
+        parts.append(seg(0, e - n))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=nax)
+
+
+def _sweep_body_chunked(prim_blk, chi_blk, dminv_blk, dminw_blk, axis,
+                        opts: HydroOptions, first_order: bool,
+                        mask_blk=None, fo_blk=None):
+    """`_sweep_body` with the sweep-axis intermediates bounded: above
+    `QUOKKA_PALLAS_SWEEP_CHUNK_ABOVE` entries, the face pipeline runs in
+    static chunks with 4-entry stencil halos (face slot i reads cells
+    [i-3, i+2]); each chunk's live set is chunk-sized, so the kernel VMEM
+    budget no longer caps the domain extent at ~272 cells/axis. Halo
+    slices wrap at the array ends (`_wrap_slice`), reproducing the
+    whole-axis roll semantics BIT-FOR-BIT: every face value is computed
+    from the same cell values by the same elementwise expressions --
+    chunking only changes data movement, never arithmetic."""
+    n = prim_blk.shape[1 + axis]
+    C = _chunk_size(n, mask_blk is not None)
+    if not C:
+        return _window_flux(prim_blk, chi_blk, dminv_blk, dminw_blk,
+                            mask_blk, fo_blk, axis, opts, first_order)
+    h = 4
+
+    def wsl(A, s, e):
+        return None if A is None else _wrap_slice(A, axis, s, e)
+
+    def osl(A, a, b):
+        nax = A.ndim - 3 + axis
+        idx = [slice(None)] * A.ndim
+        idx[nax] = slice(a, b)
+        return A[tuple(idx)]
+
+    Fs, vs = [], []
+    for s in range(0, n, C):
+        e = min(n, s + C)
+        Fc, vc = _window_flux(
+            wsl(prim_blk, s - h, e + h),
+            wsl(chi_blk, s - h, e + h),
+            wsl(dminv_blk, s - h, e + h),
+            wsl(dminw_blk, s - h, e + h),
+            wsl(mask_blk, s - h, e + h),
+            wsl(fo_blk, s - h, e + h),
+            axis, opts, first_order,
+        )
+        Fs.append(osl(Fc, h, h + (e - s)))
+        vs.append(osl(vc, h, h + (e - s)))
+    nax4 = Fs[0].ndim - 3 + axis
+    return (jnp.concatenate(Fs, axis=nax4),
+            jnp.concatenate(vs, axis=vs[0].ndim - 3 + axis))
+
+
+def _chunk_size(n: int, has_mask: bool) -> int:
+    """Sweep-axis chunk for in-kernel pipelines; 0 = run whole-axis.
+    Auto: 32 keeps (3 double-buffered whole-sweep windows + the chunk
+    live set + register spill slots) inside the 128M VMEM budget at
+    512-class extents (measured: C=64 spills 47M -> 139M total).
+    FOFC-blend kernels (has_mask) run two flux pipelines, and they are
+    the RARE branch: a quarter chunk costs nothing."""
+    C = _SWEEP_CHUNK if _SWEEP_CHUNK > 0 else 32
+    if has_mask:
+        C = max(16, C // 4)
+    if (n <= _SWEEP_CHUNK_ABOVE and _SWEEP_CHUNK <= 0) or C >= n:
+        return 0
+    return C
+
+
+def _window_flux(pb, cb, dvb, dwb, mb, fb, axis, opts: HydroOptions,
+                 first_order: bool):
+    """Flux + face velocity on one in-VMEM window (the chunked kernels'
+    unit of work)."""
+    F, v = _sweep_body(pb, cb, dvb, dwb, axis, opts, first_order)
+    if mb is not None:
+        # in-VMEM FOFC blend: first-order flux on every face adjacent
+        # to a flagged cell (face slot i flags on cells i-1, i) --
+        # exactly `advance._blend_fofc` / reference `replaceFluxes`.
+        # `fb`, if given, is the state the first-order fluxes come
+        # from (stage-2 FOFC uses Ug0's donor-cell fluxes while the
+        # high-order sweep runs on Ug1).
+        Ff, vf = _sweep_body(pb if fb is None else fb, None, None, None,
+                             axis, opts, True)
+        flag = jnp.logical_or(sh(mb, -1, axis) > 0, mb > 0)
+        F = jnp.where(flag[None], Ff, F)
+        v = jnp.where(flag, vf, v)
+    return F, v
+
+
+def _div_only_chunked(prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk,
+                      axis, opts: HydroOptions, first_order: bool,
+                      wall: bool, n_sweep: int, dx_axis,
+                      div_ref, dvel_ref, acc_div_ref, acc_dvel_ref) -> bool:
+    """Chunked divergence emission for div_only kernels on long sweep
+    axes: each chunk's faces come from a stencil-haloed window and the
+    chunk cells' divergence is written STRAIGHT into the output ref slice.
+    The chunk-concat formulation keeps every chunk's face output alive
+    into the final concatenate (a full-length face array next to the
+    double-buffered windows), which overflows VMEM at 512-class extents;
+    here only one chunk is live at a time. Bit-identical to the
+    whole-axis formulation: same face values (`_wrap_slice` reproduces
+    roll semantics; face n on roll-wrap axes equals face 0 bitwise) and
+    the same divergence/accumulation expressions. Returns False when the
+    axis is short enough for the whole-axis path."""
+    n_ext = prim_blk.shape[1 + axis]
+    C = _chunk_size(n_ext, mask_blk is not None)
+    if not C:
+        return False
+    h = 4
+    base = 4 if wall else 0
+
+    def wsl(A, s, e):
+        return None if A is None else _wrap_slice(A, axis, s, e)
+
+    def seg(A, a, b):
+        idx = [slice(None)] * A.ndim
+        idx[A.ndim - 3 + axis] = slice(a, b)
+        return A[tuple(idx)]
+
+    for s in range(0, n_sweep, C):
+        e = min(n_sweep, s + C)
+        L = e - s
+        a0, b0 = base + s - h, base + e + h
+        Fc, vc = _window_flux(
+            wsl(prim_blk, a0, b0), wsl(chi_blk, a0, b0),
+            wsl(dv_blk, a0, b0), wsl(dw_blk, a0, b0),
+            wsl(mask_blk, a0, b0), wsl(fo_blk, a0, b0),
+            axis, opts, first_order,
+        )
+        # window slot j = face (a0 - base + j); faces s..e at j = h..h+L
+        Fd = seg(Fc, h, h + L + 1)
+        vd = seg(vc, h, h + L + 1)
+        div_c = (seg(Fd, 0, L) - seg(Fd, 1, L + 1)) / dx_axis
+        dvel_c = (seg(vd, 1, L + 1) - seg(vd, 0, L)) / dx_axis
+        i4 = [slice(None)] * 4
+        i4[1 + axis] = slice(s, e)
+        i3 = [slice(None)] * 3
+        i3[axis] = slice(s, e)
+        if acc_div_ref is not None:
+            div_c = acc_div_ref[tuple(i4)] + div_c
+            dvel_c = acc_dvel_ref[tuple(i3)] + dvel_c
+        div_ref[tuple(i4)] = div_c
+        dvel_ref[tuple(i3)] = dvel_c
+    return True
+
+
 def _block_spec_4d(nv, X, Y, Z, axis, BT):
     """(block_shape, index_map, grid) for prim-like [NV,X,Y,Z] arrays:
     whole sweep axis + whole lane (z) axis in-block, tile the rest by BT."""
@@ -470,8 +641,25 @@ def compute_axis_flux_pallas(
     emit_avg_flux: bool = False,
     state_is_cons: bool = False,
     acc: tuple | None = None,
+    div_only: bool = False,
+    fo_mask: jnp.ndarray | None = None,
+    fo_from: jnp.ndarray | None = None,
 ):
     """Single fused kernel: flux + face velocity for one sweep axis.
+
+    ``div_only`` (the LEAN large-domain mode): the kernel emits ONLY the
+    divergence pair (div, dvel) -- no face arrays ever reach HBM, which
+    both removes ~60% of the write traffic and keeps 512^3-class domains
+    inside one chip's HBM (the classic layout's per-axis face dicts are
+    3x(nv+1) full fields). Requires ``dx_axis``; composes with ``acc``.
+
+    ``fo_mask`` (lean FOFC): a cell-flag field in the prim layout (same
+    dtype, 0/1). The kernel computes BOTH the high-order and the
+    first-order (donor-cell + LLF) fluxes in VMEM and selects the
+    first-order one on every face adjacent to a flagged cell -- exactly
+    `_blend_fofc` (reference `replaceFluxes`), evaluated in-kernel so the
+    redo branch stays as lean as the clean path. Wall axes extend the
+    mask with zeros (the `_pad_mask` non-periodic fill).
 
     With ``bc_axis=(lo_kind, hi_kind)`` the input arrays are UNPADDED
     (lane-aligned, no ghost zones): the kernel assembles the wall ghosts
@@ -514,10 +702,19 @@ def compute_axis_flux_pallas(
     the outputs alias the acc buffers (`input_output_aliases`), so the
     RK apply reads ONE [nvar]+1 divergence pair instead of one per axis
     (same accumulation order as the XLA `rhs + divs[d]` chain)."""
-    if block_transverse is None:
-        block_transverse = _BLOCK_TRANSVERSE
     nv = prim.shape[0]
     _, X, Y, Z = prim.shape
+    if block_transverse is None:
+        block_transverse = _BLOCK_TRANSVERSE
+        if axis == 1 and max(X, Y, Z) > _SWEEP_CHUNK_ABOVE:
+            # large-extent (lean/chunked) kernels: the y-sweep's
+            # whole-axis windows (nv, BT, Y, BZ) are the big ones and BT
+            # sits on an untiled dim there (axes 0/2 put BT on the
+            # sublane dim, where Mosaic requires multiples of 8), so at
+            # 512+ it halves to keep (windows + chunk live set + spill
+            # slots) under the 128M budget (measured: BT=8 uses 146.5M
+            # at 520, BT=4 fits)
+            block_transverse = max(4, _BLOCK_TRANSVERSE // 2)
     dtype = prim.dtype
 
     shape4, imap4, grid = _block_spec_4d(nv, X, Y, Z, axis, block_transverse)
@@ -533,12 +730,18 @@ def compute_axis_flux_pallas(
     inputs = [prim]
     in_specs = [pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM)]
     flags = []
-    for arr in (chi_cell if use_chi else None, dminv, dminw):
+    for arr in (chi_cell if use_chi else None, dminv, dminw, fo_mask):
         flags.append(arr is not None)
         if arr is not None:
             inputs.append(arr)
             in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
-    has_chi, has_v, has_w = flags
+    has_chi, has_v, has_w, has_mask = flags
+    has_fo = fo_from is not None
+    if has_fo:
+        if not has_mask:
+            raise ValueError("fo_from requires fo_mask")
+        inputs.append(fo_from)
+        in_specs.append(pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM))
 
     n_sweep = prim.shape[1 + axis]
     wall = bc_axis is not None
@@ -550,6 +753,8 @@ def compute_axis_flux_pallas(
     if acc is not None and (not with_div or emit_avg_flux):
         raise ValueError("acc accumulation requires dx_axis and is not "
                          "supported with emit_avg_flux")
+    if div_only and (not with_div or has_avg or emit_avg_flux):
+        raise ValueError("div_only requires dx_axis and excludes avg_with")
 
     # 8-wide window blocks along the sweep axis (width-1 blocks on a tiled
     # dim crash the Mosaic lowering), used for the chi ghost-plane inputs
@@ -617,6 +822,10 @@ def compute_axis_flux_pallas(
         idx += int(has_v)
         dw_ref = refs[idx] if has_w else None
         idx += int(has_w)
+        mask_ref = refs[idx] if has_mask else None
+        idx += int(has_mask)
+        fo_ref = refs[idx] if has_fo else None
+        idx += int(has_fo)
         chi_glo_ref = refs[idx] if chi_glo else None
         idx += int(bool(chi_glo))
         chi_ghi_ref = refs[idx] if chi_ghi else None
@@ -636,10 +845,11 @@ def compute_axis_flux_pallas(
             acc_div_ref, acc_dvel_ref = refs[idx], refs[idx + 1]
             idx += 2
         flux_ref = vel_ref = flux_hi_ref = vel_hi_ref = favg_ref = None
-        if has_avg:
-            # avg (RK2 stage-2) kernels emit ONLY the divergences: the
-            # VMEM budget and HBM write traffic of the raw face arrays are
-            # saved; the rare FOFC fallback recomputes them in XLA.
+        if has_avg or div_only:
+            # avg (RK2 stage-2) and div_only (lean) kernels emit ONLY the
+            # divergences: the VMEM budget and HBM write traffic of the
+            # raw face arrays are saved; the rare FOFC fallback
+            # recomputes them (in XLA, or in-kernel via fo_mask).
             # (emit_avg_flux adds the time-averaged flux itself for the
             # AMR flux registers.)
             div_ref, dvel_ref = refs[idx], refs[idx + 1]
@@ -658,6 +868,8 @@ def compute_axis_flux_pallas(
         chi_blk = chi_ref[...] if chi_ref is not None else None
         dv_blk = dv_ref[...] if dv_ref is not None else None
         dw_blk = dw_ref[...] if dw_ref is not None else None
+        mask_blk = mask_ref[...] if mask_ref is not None else None
+        fo_blk = fo_ref[...] if fo_ref is not None else None
 
         if wall:
             lo_k, hi_k = bc_axis
@@ -682,13 +894,38 @@ def compute_axis_flux_pallas(
                 dv_blk = _assemble_wall_ghosts(dv_blk, axis, lo_k, hi_k, None, g)
             if dw_blk is not None:
                 dw_blk = _assemble_wall_ghosts(dw_blk, axis, lo_k, hi_k, None, g)
+            if mask_blk is not None:
+                # mask ghosts are False on wall axes (`_pad_mask`'s
+                # non-periodic fill): lo-wall face flags only on cell 0,
+                # hi-wall face only on cell n-1
+                zshape = list(mask_blk.shape)
+                zshape[axis] = g
+                z = jnp.zeros(zshape, mask_blk.dtype)
+                mask_blk = jnp.concatenate([z, mask_blk, z], axis=axis)
+            if fo_blk is not None:
+                fo_blk = _assemble_wall_ghosts(
+                    fo_blk, axis, lo_k, hi_k,
+                    odd_comp=(MX1 if state_is_cons else PVX1) + axis, g=g
+                )
 
         if state_is_cons:
             prim_blk = euler.cons_to_prim(
                 prim_blk, opts.eos, opts.reconstruct_eint
             )
+            if fo_blk is not None:
+                fo_blk = euler.cons_to_prim(
+                    fo_blk, opts.eos, opts.reconstruct_eint
+                )
 
-        F, v = _sweep_body(prim_blk, chi_blk, dv_blk, dw_blk, axis, opts, first_order)
+        if div_only and _div_only_chunked(
+                prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk, axis,
+                opts, first_order, wall, n_sweep, dx_axis,
+                div_ref, dvel_ref, acc_div_ref, acc_dvel_ref):
+            return
+
+        F, v = _sweep_body_chunked(prim_blk, chi_blk, dv_blk, dw_blk, axis,
+                                   opts, first_order, mask_blk=mask_blk,
+                                   fo_blk=fo_blk)
 
         if wall:
             # assembled face slot g+i = face between cells i-1 and i
@@ -699,7 +936,7 @@ def compute_axis_flux_pallas(
                 i[A.ndim - 3 + axis] = slice(a, b)
                 return A[tuple(i)]
 
-            if not has_avg:
+            if flux_ref is not None:
                 flux_ref[...] = fslice(F, g, g + n_sweep)
                 vel_ref[...] = fslice(v, g, g + n_sweep)
                 # hi-wall planes are written as an 8-wide tail window along
@@ -739,7 +976,7 @@ def compute_axis_flux_pallas(
                 div_ref[...] = div_c
                 dvel_ref[...] = dvel_c
         else:
-            if not has_avg:
+            if flux_ref is not None:
                 flux_ref[...] = F
                 vel_ref[...] = v
             if with_div:
@@ -765,7 +1002,7 @@ def compute_axis_flux_pallas(
                 if favg_ref is not None:
                     favg_ref[...] = Fd
 
-    if has_avg:
+    if has_avg or div_only:
         out_specs = [
             pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
             pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM),
@@ -812,7 +1049,8 @@ def compute_axis_flux_pallas(
 
     aliases = {}
     if acc is not None:
-        div_out_idx = 0 if has_avg else 2 + (2 if wall else 0)
+        div_out_idx = (0 if (has_avg or div_only)
+                       else 2 + (2 if wall else 0))
         aliases = {acc_in_idx: div_out_idx, acc_in_idx + 1: div_out_idx + 1}
     outs = pl.pallas_call(
         kernel,
@@ -826,10 +1064,10 @@ def compute_axis_flux_pallas(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(*inputs)
-    if has_avg:
+    if has_avg or div_only:
         if emit_avg_flux:
             return outs[0], outs[1], outs[2]  # (div, dvel, F_avg)
-        return outs[0], outs[1]  # (div, dvel) of the time-averaged flux
+        return outs[0], outs[1]  # (div, dvel)
     div_tail = tuple(outs[-2:]) if with_div else ()
     if wall:
         from jax import lax as _lax
@@ -849,7 +1087,11 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
                               bc_kinds: dict | None = None,
                               avg_with: dict | None = None,
                               emit_avg_flux: bool = False,
-                              accumulate: bool = False) -> dict:
+                              accumulate: bool = False,
+                              div_only: bool = False,
+                              fo_mask: jnp.ndarray | None = None,
+                              fo_from: jnp.ndarray | None = None,
+                              acc_init: tuple | None = None) -> dict:
     """Sweep all axes once, emitting fluxes AND their divergence
     contributions from the same kernels (see `compute_axis_flux_pallas`
     ``dx_axis``). Returns a dict with keys ``fluxes``, ``facevels``,
@@ -868,19 +1110,28 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
     ``rhs + divs[d]`` chain, but with no per-axis HBM materialization);
     the return then carries single ``div``/``dvel`` totals instead of the
     per-axis ``divs``/``dvels`` dicts. Not available with
-    ``emit_avg_flux`` (the AMR reflux path keeps the classic layout)."""
+    ``emit_avg_flux`` (the AMR reflux path keeps the classic layout).
+
+    ``div_only`` (LEAN mode, large domains): kernels emit ONLY the
+    divergence pair -- no face arrays in HBM at all. Implies the caller
+    reconstructs everything it needs from divergences (RK2 by linearity)
+    or re-sweeps with ``fo_mask`` for the FOFC redo. ``acc_init`` seeds
+    the accumulator chain (stage 2 adds onto stage 1's totals in place)."""
     if accumulate and emit_avg_flux:
         raise ValueError("accumulate is not supported with emit_avg_flux")
     in_cons = bool(int(os.environ.get("QUOKKA_PALLAS_CONS_IN_KERNEL", "1")))
     if not in_cons:
         Ug = euler.cons_to_prim(Ug, opts.eos, opts.reconstruct_eint)
+        if fo_from is not None:
+            fo_from = euler.cons_to_prim(fo_from, opts.eos,
+                                         opts.reconstruct_eint)
     dmins, chi_cell, chi_ghost = precompute_transverse_pallas(
         Ug, opts, bc_kinds, state_is_cons=in_cons
     )
 
     out = {"fluxes": {}, "facevels": {}, "flux_hi": {}, "vel_hi": {},
            "divs": {}, "dvels": {}}
-    acc = None
+    acc = acc_init
     for d in opts.active_axes:
         bc_axis = None if bc_kinds is None else bc_kinds.get(d)
         avg_axis = None
@@ -894,7 +1145,14 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
             dx_axis=opts.dx[d], avg_with=avg_axis,
             emit_avg_flux=emit_avg_flux, state_is_cons=in_cons,
             acc=acc if accumulate else None,
+            div_only=div_only, fo_mask=fo_mask, fo_from=fo_from,
         )
+        if div_only:
+            if accumulate:
+                acc = res
+            else:
+                out["divs"][d], out["dvels"][d] = res
+            continue
         if avg_axis is not None:
             if emit_avg_flux:
                 dv, dl, favg = res

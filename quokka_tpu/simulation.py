@@ -240,12 +240,27 @@ class Simulation:
         local_max = max(
             n // t for n, t in zip(self.grid.n_cell, tiles0)
         )
+        # above the classic kernels' VMEM ceiling the LEAN divergence mode
+        # (sweep-chunked, div-only kernels) carries ghost-free stepping to
+        # 512^3-class extents -- and staying unpadded there is what keeps
+        # the working set inside HBM
+        import os as _os
+
+        _lean_ok = (
+            opts.fuse_update
+            and opts.rk_order == 2
+            and _os.environ.get("QUOKKA_PALLAS_LEAN", "auto") != "0"
+        )
+        max_ext = (
+            int(_os.environ.get("QUOKKA_PALLAS_LEAN_MAX_DIM", "1088"))
+            if _lean_ok else _PALLAS_MAX_DIM
+        )
         if (
             self.dtype != jnp.float32
             or not opts.use_pallas
             or len(opts.active_axes) != 3
             or int(self.pp.get_int("hydro.ghost_free", 1)) == 0
-            or local_max > _PALLAS_MAX_DIM  # VMEM ceiling: XLA path instead
+            or local_max > max_ext  # VMEM ceiling: XLA path instead
         ):
             return None
         allowed = (BC_PERIODIC, BC_REFLECT, BC_OUTFLOW)
@@ -534,8 +549,21 @@ class Simulation:
         else:
             self.tracers = None
 
-        U = self.problem.set_initial_conditions(self.grid)
-        U = jnp.asarray(U, dtype=self.dtype)
+        # run the IC under jit so XLA fuses the problem's (f64, x64 is on
+        # globally) intermediates into the final-dtype write: at 512^3 the
+        # eager path materializes ~7 full f64 arrays (~10 GB) before the
+        # f32 cast. Host-side (numpy) ICs trace as embedded constants;
+        # anything untraceable falls back to the eager path.
+        def _ic():
+            return jnp.asarray(
+                self.problem.set_initial_conditions(self.grid),
+                dtype=self.dtype,
+            )
+
+        try:
+            U = jax.jit(_ic)()
+        except Exception:
+            U = _ic()
         expected = (self.layout.nvar, *self.grid.n_cell)
         if U.shape != expected:
             raise ValueError(f"IC shape {U.shape} != expected {expected}")

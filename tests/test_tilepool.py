@@ -173,3 +173,23 @@ def test_dense_pool_roundtrip():
     got = np.asarray(back)
     np.testing.assert_array_equal(got[:, cov], np.asarray(Ud)[:, cov])
     assert np.isnan(got[:, ~cov]).all()
+
+
+def test_lazy_slab_gather_bitwise():
+    """`assemble_padded` with the lazy handle (vmapped dynamic_slice
+    sub-block gathers straight from the pool, used above
+    QUOKKA_POOL_SLAB_MAX_BYTES) is bitwise-equal to the materialized-slab
+    gather -- same bytes, different data movement."""
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    T, nv, ts, g = 37, 4, (8, 8, 8), 4
+    U = jax.random.normal(key, (T, nv, *ts), jnp.float32)
+    nbr = jax.random.randint(key, (T, 26), -1, T)
+    bd = jax.random.normal(jax.random.PRNGKey(1), (T, nv, 16, 16, 16),
+                           jnp.float32)
+    slabs = tp.slice_slabs(U, g)
+    assert isinstance(slabs, tuple) and len(slabs) == 26
+    a = tp.assemble_padded(U, nbr, bd, slabs, g)
+    b = tp.assemble_padded(U, nbr, bd, ("lazy", U, g), g)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
