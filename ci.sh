@@ -46,21 +46,53 @@ run_full() {
   ncpu=$(nproc)
   local jobs="${CI_JOBS:-$(( ncpu > 4 ? 4 : ncpu ))}"
   local budget_min="${CI_BUDGET_MIN:-30}"
-  mapfile -t files < <(ls tests/test_*.py)
-  local pids=() logs=() i=0
   mkdir -p /tmp/quokka_ci
-  for ((j=0; j<jobs; j++)); do
-    local group=()
-    for ((k=j; k<${#files[@]}; k+=jobs)); do group+=("${files[k]}"); done
+  # longest-processing-time-first assignment: known-heavy files (measured
+  # on this host) get weights so several of them can't stack into one
+  # round-robin shard and trip the budget; everything else weighs 1
+  python - "$jobs" > /tmp/quokka_ci/shards.txt <<'PYEOF'
+import glob, sys
+jobs = int(sys.argv[1])
+weights = {  # ~minutes on the virtual CPU mesh (heavy files only)
+    "tests/test_lean_update.py": 10,
+    "tests/test_sharded.py": 6,
+    "tests/test_tilepool_radhydro.py": 5,
+    "tests/test_tilepool_hydro.py": 4,
+    "tests/test_amr_sharded.py": 4,
+    "tests/test_mhd.py": 3,
+    "tests/test_amr.py": 3,
+    "tests/test_radiation_marshak.py": 3,
+}
+files = sorted(glob.glob("tests/test_*.py"))
+files.sort(key=lambda f: -weights.get(f, 1))
+shards = [[] for _ in range(jobs)]
+load = [0.0] * jobs
+for f in files:
+    j = load.index(min(load))
+    shards[j].append(f)
+    load[j] += weights.get(f, 1)
+for s in shards:
+    print(" ".join(s))
+PYEOF
+  local pids=() logs=() j=0
+  while IFS= read -r group; do
+    [ -z "$group" ] && continue
     local log="/tmp/quokka_ci/shard$j.log"
     logs+=("$log")
-    timeout "$((budget_min*60))" python -m pytest "${group[@]}" -q       > "$log" 2>&1 &
+    # shellcheck disable=SC2086
+    timeout "$((budget_min*60))" python -m pytest $group -q > "$log" 2>&1 &
     pids+=($!)
-  done
+    j=$((j+1))
+  done < /tmp/quokka_ci/shards.txt
   local rc=0
-  for ((j=0; j<jobs; j++)); do
-    if ! wait "${pids[j]}"; then rc=1; fi
-    tail -2 "${logs[j]}" | sed "s/^/[shard $j] /"
+  for ((k=0; k<j; k++)); do
+    if wait "${pids[k]}"; then
+      tail -2 "${logs[k]}" | sed "s/^/[shard $k] /"
+    else
+      rc=1
+      echo "[shard $k] FAILED -- full log tail:"
+      tail -40 "${logs[k]}" | sed "s/^/[shard $k] /"
+    fi
   done
   return $rc
 }

@@ -1286,6 +1286,23 @@ class AMRSimulation(Simulation):
         self._pool_step_jits[key] = jitted
         return jitted
 
+    def _pool_jit_key(self, tag: str, l: int, meta):
+        """Cache key for a pool jit that CLOSES OVER `meta`'s host tables:
+        keyed on the monotonic regrid epoch (id(meta) can be recycled by
+        CPython), evicting this (tag, level)'s entries from earlier
+        epochs so stale closures + compiled executables don't accumulate
+        across regrids."""
+        key = (tag, l, meta.epoch)
+        if key not in self._pool_jits:
+            stale = [
+                k for k in self._pool_jits
+                if isinstance(k, tuple) and len(k) == 3
+                and k[0] == tag and k[1] == l and k[2] != meta.epoch
+            ]
+            for k in stale:
+                del self._pool_jits[k]
+        return key
+
     # ---- pool reflux / average-down (level l against a pool child l+1)
     def _pool_child_reflux_dense(self, l: int, F_crse: dict,
                                  F_fine_pool_sum: dict, dt_c: float):
@@ -1294,13 +1311,15 @@ class AMRSimulation(Simulation):
         dense reflux kernel."""
         st = self.level_pool[l + 1]
         # fine_faces_to_dense closes over host metadata (tile index
-        # arrays); jit per regrid epoch via meta identity
-        F_fine = self._pool_jits.get(("ffd", l + 1, id(st.meta)))
+        # arrays); jit per regrid epoch (keyed on meta.epoch, evicting
+        # the previous epoch's entry so executables don't accumulate)
+        key = self._pool_jit_key("ffd", l + 1, st.meta)
+        F_fine = self._pool_jits.get(key)
         if F_fine is None:
             meta = st.meta
             ngt = tuple(self.ng)
             fn = jax.jit(lambda Fp: sp.fine_faces_to_dense(Fp, meta, ngt))
-            self._pool_jits[("ffd", l + 1, id(st.meta))] = fn
+            self._pool_jits[key] = fn
             F_fine = fn
         F_fine_dense = F_fine(F_fine_pool_sum)
         # reuse the dense reflux kernel with the pool's coverage mask
@@ -1320,7 +1339,7 @@ class AMRSimulation(Simulation):
     def _pool_child_avgdown_dense(self, l: int):
         """Dense level l overwritten with restricted pool-child data."""
         st = self.level_pool[l + 1]
-        key = ("avgdown_dense_parent", l, id(st.meta))
+        key = self._pool_jit_key("avgdown_dense_parent", l, st.meta)
         if key not in self._pool_jits:
             meta = st.meta
             active = self.grid.active_axes

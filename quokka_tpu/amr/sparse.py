@@ -249,12 +249,22 @@ def fine_faces_to_dense(F_restr: Dict[int, jnp.ndarray], meta: tp.TileMeta,
         planes = planes.at[lin1].set(Fa[lead + tuple(hi_sl)])
         pdense = _unblock(planes, tuple(grid1), tuple(plane))
         # (3) strided merge at face positions b*tsc[d]: keep the lo-side
-        # value where a tile already wrote it (equal values either way)
+        # value exactly where an ACTIVE tile's lo pass wrote one (an
+        # explicit written mask -- a value sentinel would misread a
+        # legitimately zero lo-side flux as "unwritten")
         stride = [slice(None)] * 3
         stride[d] = slice(0, Xc[d] + 1, tsc[d])
         cur = full[(slice(None),) + tuple(stride)]
+        actg = jnp.zeros((TX * TY * TZ,), bool).at[lin].set(True)
+        wrote = actg.reshape(TX, TY, TZ)
+        for e in range(3):
+            if e != d:
+                wrote = jnp.repeat(wrote, tsc[e], axis=e)
+        epad = [(0, 0)] * 3
+        epad[d] = (0, 1)  # face Xc (b=TX) is never written by the lo pass
+        wrote = jnp.pad(wrote, epad)
         full = full.at[(slice(None),) + tuple(stride)].set(
-            jnp.where(cur != 0.0, cur, pdense)
+            jnp.where(wrote[None], cur, pdense)
         )
         # pad into coarse padded face coords like restrict_face_flux
         pad = [(0, 0)]

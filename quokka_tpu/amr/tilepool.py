@@ -70,6 +70,10 @@ DIRS = [
 ]
 
 
+# process-wide regrid-epoch counter (see TileMeta.epoch)
+_EPOCH_COUNTER = 0
+
+
 @dataclass
 class TileMeta:
     """Host-side tile bookkeeping for one pool level (one regrid epoch).
@@ -87,6 +91,9 @@ class TileMeta:
     slot_of: Dict[Tuple[int, int, int], int] = field(default_factory=dict)
     nbr_dev: Optional[jnp.ndarray] = None  # [capacity, 26] int32
     origin_dev: Optional[jnp.ndarray] = None  # [capacity, 3] int32 (cells)
+    # monotonic regrid-epoch id: jit caches that close over this meta's
+    # host tables key on it (NOT on id(meta), which CPython can recycle)
+    epoch: int = -1
 
     @property
     def tiles_shape(self) -> Tuple[int, int, int]:
@@ -120,11 +127,14 @@ class TileMeta:
         ijk = np.full((capacity, 3), -1, dtype=np.int32)
         if n:
             ijk[:n] = np.asarray(tiles, dtype=np.int32)
+        global _EPOCH_COUNTER
+        _EPOCH_COUNTER += 1
         meta = TileMeta(
             level_shape=level_shape, tile_shape=tile_shape,
             periodic=tuple(bool(p) for p in periodic),
             capacity=capacity, n_active=n, ijk=ijk,
             slot_of={t: s for s, t in enumerate(tiles)},
+            epoch=_EPOCH_COUNTER,
         )
         meta._build_tables()
         return meta

@@ -562,7 +562,14 @@ class Simulation:
 
         try:
             U = jax.jit(_ic)()
-        except Exception:
+        except (jax.errors.JAXTypeError, jax.errors.JAXIndexError,
+                TypeError) as e:
+            # untraceable IC (host-side control flow / numpy mutation):
+            # run it eagerly. Anything else (a genuinely broken IC) must
+            # surface -- the eager retry would execute the failure twice
+            # and at 512^3-class extents double peak memory.
+            if self.verbose:
+                print(f"IC not jittable ({type(e).__name__}); running eagerly")
             U = _ic()
         expected = (self.layout.nvar, *self.grid.n_cell)
         if U.shape != expected:
