@@ -670,33 +670,29 @@ class AMRSimulation(Simulation):
         meta = tp.TileMeta.build(child_shape, ts, tiles, self.periodic,
                                  capacity=cap)
 
-        if self._is_pool(l):
-            ps, po = tp.parent_linkage(meta, self.level_pool[l].meta)
-            kind, arrs = self._regrid_ctx(l)
-            nbr_l, org_l, ps_l, po_l = self._pool_pad_args(l)
-            new_data = sp.prolong_tiles_from_pool_lazy(
-                self.level_pool[l].U, nbr_l, org_l, ps_l, po_l, kind, arrs,
-                ps, po, ts, g, active,
-                chunk=max(self.pool_chunk, 16) if self.pool_chunk else 64,
-            )
-        else:
-            ps = po = None
-            new_data = sp.prolong_tiles_from_dense(
-                self._padded_current(l), meta.origin_dev, ts, g, active
-            )
+        old_U = remap_dev = None
         if old is not None and old.meta.n_active:
             remap = np.full(meta.capacity, -1, np.int32)
             for t, s in meta.slot_of.items():
                 remap[s] = old.meta.slot_of.get(t, -1)
             remap_dev = jnp.asarray(remap)
-            carried = jnp.take(old.U, jnp.maximum(remap_dev, 0), axis=0)
-            keep = (remap_dev >= 0).reshape(-1, 1, 1, 1, 1)
-            U_new = jnp.where(keep, carried, new_data)
+            old_U = old.U
+        if self._is_pool(l):
+            ps, po = tp.parent_linkage(meta, self.level_pool[l].meta)
+            kind, arrs = self._regrid_ctx(l)
+            nbr_l, org_l, ps_l, po_l = self._pool_pad_args(l)
+            U_new = sp.prolong_tiles_from_pool_lazy(
+                self.level_pool[l].U, nbr_l, org_l, ps_l, po_l, kind, arrs,
+                ps, po, ts, g, active,
+                chunk=max(self.pool_chunk, 16) if self.pool_chunk else 64,
+                n_active=meta.n_active, old_U=old_U, remap=remap_dev,
+            )
         else:
-            U_new = new_data
-        if meta.n_active < meta.capacity:
-            # benign data in spare slots: every vmapped pass stays finite
-            U_new = U_new.at[meta.n_active:].set(U_new[0])
+            ps = po = None
+            U_new = sp.prolong_tiles_from_dense(
+                self._padded_current(l), meta.origin_dev, ts, g, active,
+                n_active=meta.n_active, old_U=old_U, remap=remap_dev,
+            )
 
         # the child's OWN children must stay nested: rebuild the linkage
         # below if a grandchild pool exists (regrid proceeds top-down, so

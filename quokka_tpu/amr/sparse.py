@@ -76,27 +76,131 @@ def _chunked_map(fn, args, chunk: int):
     )
 
 
+def stream_pool_build(produce, const_args, per_chunk_args, cap, chunk,
+                      n_active, out_tail, dtype, old_U=None, remap=None):
+    """Build a [cap, *out_tail] pool by producing tile data chunk-by-chunk
+    on the host and streaming each chunk into a preallocated device buffer
+    with DONATED dynamic_update_slice writes.
+
+    `produce(*const_args, *chunk_args) -> [chunk, *out_tail]` must be a
+    jitted per-chunk producer. `const_args` are passed whole on every call
+    -- pool-sized arrays MUST ride here as jit ARGUMENTS: a closure would
+    embed them as HLO constants, and at benchmark scale the serialized
+    payload alone exceeds the remote TPU compile helper's request-body
+    limit (HTTP 413). `per_chunk_args` are [cap, ...] device arrays
+    sliced [i0:i0+chunk) per chunk. Rows >= `n_active` are filled with row
+    0's data (benign spare-slot values so every vmapped pass stays finite,
+    matching the previous whole-pool builder). If `old_U`/`remap` are
+    given, rows with remap >= 0 carry the old pool's data through
+    unchanged (regrid persistence) instead of the produced data.
+
+    This replaces whole-pool lax.map stacking + full-size carry merge: at
+    benchmark scale (shell 256^3 + 2 levels, level-2 build = 5504 x 32^3
+    tiles) XLA laid the stacked [n_chunks, chunk, nvar, tx, ty, tz] map
+    output out with a lane-minor tile axis (4x lane padding -> a 28.9 GB
+    HBM allocation at compile), and the subsequent take/where merge held
+    three pool-sized arrays at once. Streaming holds the output pool plus
+    one chunk; peak extra memory is O(chunk)."""
+    n_lead = 1 + len(out_tail)
+    write = jax.jit(
+        lambda buf, data, i0: lax.dynamic_update_slice(
+            buf, data, (i0,) + (jnp.zeros((), jnp.int32),) * (n_lead - 1)
+        ),
+        donate_argnums=0,
+    )
+
+    def merge_fn(data, row0, valid, carried=None, keep=None):
+        v = valid.reshape((chunk,) + (1,) * len(out_tail))
+        data = jnp.where(v, data, row0[None])
+        if carried is not None:
+            k = keep.reshape((chunk,) + (1,) * len(out_tail))
+            data = jnp.where(k & v, carried, data)
+        return data
+
+    merge = jax.jit(merge_fn)
+    take_old = None
+    if old_U is not None:
+        take_old = jax.jit(
+            lambda old, rows: jnp.take(old, jnp.maximum(rows, 0), axis=0)
+        )
+
+    write_tail = None
+    U_new = jnp.zeros((cap, *out_tail), dtype)
+    row0 = None
+    Nc = -(-cap // chunk)
+    for ci in range(Nc):
+        i0 = ci * chunk
+        r = min(chunk, cap - i0)
+
+        def _sl(a):
+            c = a[i0:i0 + r]
+            if r < chunk:  # pad ragged tail chunk (rows discarded below)
+                c = jnp.concatenate(
+                    [c, jnp.repeat(c[:1], chunk - r, axis=0)], axis=0
+                )
+            return c
+
+        if i0 >= n_active and row0 is not None:
+            # spare slots never carry old data (their remap rows are -1)
+            data = jnp.broadcast_to(row0[None], (chunk, *out_tail)).astype(
+                dtype
+            )
+        else:
+            data = produce(*const_args, *(_sl(a) for a in per_chunk_args))
+            if row0 is None:
+                row0 = data[0]
+            valid = jnp.arange(i0, i0 + chunk) < n_active
+            if old_U is not None:
+                rows = _sl(remap)
+                carried = take_old(old_U, rows)
+                data = merge(data, row0, valid, carried, rows >= 0)
+            else:
+                data = merge(data, row0, valid)
+        if r < chunk:
+            if write_tail is None:
+                write_tail = jax.jit(
+                    lambda buf, d, i0: lax.dynamic_update_slice(
+                        buf, d,
+                        (i0,) + (jnp.zeros((), jnp.int32),) * (n_lead - 1)
+                    ),
+                    donate_argnums=0,
+                )
+            U_new = write_tail(U_new, data[:r], jnp.asarray(i0, jnp.int32))
+        else:
+            U_new = write(U_new, data, jnp.asarray(i0, jnp.int32))
+    return U_new
+
+
 def prolong_tiles_from_dense(parent_padded, origin_dev, tile_shape,
-                             gp, active_axes, chunk: int = 64):
+                             gp, active_axes, chunk: int = 64,
+                             n_active=None, old_U=None, remap=None):
     """Tile interiors prolonged from a dense padded parent (new-tile data
-    at regrid; `make_backdrop_from_dense` with zero fine ghosts)."""
+    at regrid; `make_backdrop_from_dense` with zero fine ghosts), streamed
+    chunk-by-chunk into the new pool buffer (`stream_pool_build`)."""
     hc = 1
     nv = parent_padded.shape[0]
     sizes = (nv,) + tuple(t // 2 + 2 * hc for t in tile_shape)
 
-    def donor(o):
+    def donor(pp, o):
         z = jnp.zeros((), o.dtype)
         start = (z,) + tuple(o[d] // 2 - hc + gp for d in range(3))
-        return lax.dynamic_slice(parent_padded, start, sizes)
+        return lax.dynamic_slice(pp, start, sizes)
 
-    def body(args):
-        (o_c,) = args
-        donors = jax.vmap(donor)(o_c)
+    def body(pp, o_c):
+        donors = jax.vmap(lambda o: donor(pp, o))(o_c)
         fine = jax.vmap(lambda D: ops.prolong(D, active_axes))(donors)
         sl = tuple(slice(2, fine.shape[2 + d] - 2) for d in range(3))
         return fine[(slice(None), slice(None)) + sl]
 
-    return _chunked_map(body, (origin_dev,), chunk)
+    cap = origin_dev.shape[0]
+    if n_active is None:
+        n_active = cap
+    produce = jax.jit(body)
+    return stream_pool_build(
+        produce, (parent_padded,), (origin_dev,), cap, min(chunk, cap),
+        n_active, (nv, *tile_shape), parent_padded.dtype, old_U=old_U,
+        remap=remap,
+    )
 
 
 def current_backdrop_fn(kind, arrs, ts, g, active):
@@ -143,30 +247,44 @@ def current_backdrop_fn(kind, arrs, ts, g, active):
 
 def prolong_tiles_from_pool_lazy(U_l, nbr_l, org_l, ps_l, po_l, kind, arrs,
                                  child_ps, child_po, ts, g, active,
-                                 chunk: int = 64):
+                                 chunk: int = 64, n_active=None,
+                                 old_U=None, remap=None):
     """New-child-tile data prolonged from POOL parent level l WITHOUT
     materializing l's full padded pool: per chunk of child tiles, assemble
     the padded parent tiles (interior + 26-dir neighbor slabs + backdrop
     from l's own parent context `kind`/`arrs`), then take the prolonged
-    interior. Bitwise-equal to `prolong_tiles_from_pool` on the
-    materialized padded pool: the donors carry every coarse cell the
+    interior, streaming each chunk into the new pool buffer
+    (`stream_pool_build`). Bitwise-equal to `prolong_tiles_from_pool` on
+    the materialized padded pool: the donors carry every coarse cell the
     limited-linear slopes read, and `ops.prolong` is purely local."""
     slabs_l = tp.slice_slabs(U_l, g)
-    mk = current_backdrop_fn(kind, arrs, ts, g, active)
+    is_lazy = isinstance(slabs_l, tuple) and len(slabs_l) == 3 \
+        and slabs_l[0] == "lazy"
 
-    def body(args):
-        ps_c, po_c = args
+    def body(U_l, nbr_l, org_l, ps_l, po_l, slabs, arrs_t, ps_c, po_c):
+        if is_lazy:
+            slabs = ("lazy", U_l, g)
+        mk = current_backdrop_fn(kind, arrs_t, ts, g, active)
         rows = jnp.maximum(ps_c, 0)
         bd = mk(org_l[rows], ps_l[rows], po_l[rows])
         p_pad = tp.assemble_padded(
-            U_l[rows], jnp.take(nbr_l, rows, axis=0), bd, slabs_l, g
+            U_l[rows], jnp.take(nbr_l, rows, axis=0), bd, slabs, g
         )
         loc = jnp.arange(ps_c.shape[0], dtype=jnp.int32)
         fine = tp.make_backdrop_from_pool(p_pad, loc, po_c, ts, g, g, active)
         sl = tuple(slice(g, fine.shape[2 + d] - g) for d in range(3))
         return fine[(slice(None), slice(None)) + sl]
 
-    return _chunked_map(body, (child_ps, child_po), chunk)
+    cap = child_ps.shape[0]
+    if n_active is None:
+        n_active = cap
+    nv = U_l.shape[1]
+    const = (U_l, nbr_l, org_l, ps_l, po_l,
+             () if is_lazy else slabs_l, tuple(arrs))
+    return stream_pool_build(
+        jax.jit(body), const, (child_ps, child_po), cap, min(chunk, cap),
+        n_active, (nv, *ts), U_l.dtype, old_U=old_U, remap=remap,
+    )
 
 
 def prolong_tiles_from_pool(parent_padded_pool, parent_slot, parent_off,

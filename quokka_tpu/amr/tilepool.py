@@ -189,13 +189,16 @@ def _region(tile_shape, g, d3):
 import os as _os
 
 # Above this many slab bytes, `slice_slabs` returns a LAZY handle and the
-# ghost assembly gathers edge sub-blocks straight out of the pool array
-# with vmapped dynamic_slice instead: materialized slab pools cost ~0.95x
-# the state at 32^3 tiles (2.4x at 16^3) and XLA may lane-pad the short
-# slab dims several-fold on TPU -- at benchmark scale (20k+ tiles) that
-# alone exceeds HBM.
+# ghost assembly gathers whole neighbor tiles per chunk instead (then
+# statically slices the slab region). Slabs are materialized FLAT
+# ([T, prod] 2D arrays) so TPU lane tiling cannot pad the short minor
+# dims: measured on v5e at benchmark scale (1216x32^3 tiles), building
+# all 26 flat slabs costs 0.63 GB temp + 0.95x the pool in output, while
+# the previous 5D slab pools lane-padded several-fold and the lazy
+# vmapped-dynamic_slice path forced a transposed full-pool relayout copy
+# (f32[1216,10,32,32,32]{1,0,4,3,2} -> 20.4 GB, an HBM OOM at compile).
 _SLAB_MAX_BYTES = int(
-    _os.environ.get("QUOKKA_POOL_SLAB_MAX_BYTES", str(512 * 1024 * 1024))
+    _os.environ.get("QUOKKA_POOL_SLAB_MAX_BYTES", str(4096 * 1024 * 1024))
 )
 
 
@@ -212,38 +215,35 @@ def _slab_bytes(U_pool: jnp.ndarray, g: int) -> int:
 
 def slice_slabs(U_pool: jnp.ndarray, g: int):
     """The 26 neighbor-edge slab pools the ghost assembly gathers from
-    (pre-sliced once per fill so chunked assembly reuses them). Above
-    `QUOKKA_POOL_SLAB_MAX_BYTES` this returns a lazy handle instead and
-    `assemble_padded` gathers the slabs per chunk directly from the pool
-    (identical values, no full-pool slab arrays)."""
+    (pre-sliced once per fill so chunked assembly reuses them), stored
+    FLAT as [T, prod] so TPU lane tiling cannot pad the short slab dims.
+    Above `QUOKKA_POOL_SLAB_MAX_BYTES` this returns a lazy handle instead
+    and `assemble_padded` gathers whole neighbor tiles per chunk directly
+    from the pool (identical values, no full-pool slab arrays)."""
     if _slab_bytes(U_pool, g) > _SLAB_MAX_BYTES:
         return ("lazy", U_pool, g)
     lead = (slice(None), slice(None))
     ts = U_pool.shape[2:]
+    T = U_pool.shape[0]
     return tuple(
-        U_pool[lead + _region(ts, g, d3)[0]] for d3 in DIRS
+        U_pool[lead + _region(ts, g, d3)[0]].reshape(T, -1) for d3 in DIRS
     )
 
 
 def gather_slab(U_pool: jnp.ndarray, rows: jnp.ndarray, d3, g: int):
-    """Direction-d3 edge slab of tiles `rows`, gathered as sub-blocks via
-    vmapped dynamic_slice -- reads only the slab bytes from HBM; no
-    full-pool slab array is ever materialized. Bitwise-equal to
+    """Direction-d3 edge slab of tiles `rows` in the lazy (huge-pool)
+    regime: gather the whole neighbor tiles through a flattened trailing
+    view (a plain HBM row gather -- see `take_tiles`), then statically
+    slice the slab region. Reads chunk x tile bytes from HBM rather than
+    only the slab bytes, but never forces a full-pool relayout copy (the
+    previous vmapped-dynamic_slice formulation made XLA:TPU copy the pool
+    into a transposed layout with nvar lane-minor, padding 10 -> 128 and
+    OOMing HBM at benchmark scale). Bitwise-equal to
     `take_tiles(slice_slabs(U)[q], rows)`."""
     ts = U_pool.shape[2:]
     src, _ = _region(ts, g, d3)
-    starts = tuple(s.start for s in src)
-    sizes = tuple(s.stop - s.start for s in src)
-    nv = U_pool.shape[1]
-
-    def pick(i):
-        z = jnp.zeros((), i.dtype)
-        return lax.dynamic_slice(
-            U_pool, (i, z, *(jnp.full((), st, i.dtype) for st in starts)),
-            (1, nv) + sizes,
-        )[0]
-
-    return jax.vmap(pick)(rows)
+    tiles = take_tiles(U_pool, rows)
+    return tiles[(slice(None), slice(None)) + src]
 
 
 def take_tiles(X: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -263,6 +263,7 @@ def assemble_padded(U_tiles: jnp.ndarray, nbr_rows: jnp.ndarray,
     the `backdrop` value. `slabs` = `slice_slabs` of the FULL pool (the
     neighbor table indexes the full pool)."""
     T = U_tiles.shape[0]
+    nv = U_tiles.shape[1]
     ts = U_tiles.shape[2:]
     lazy = isinstance(slabs, tuple) and len(slabs) == 3 and slabs[0] == "lazy"
     lead = (slice(None), slice(None))
@@ -270,13 +271,16 @@ def assemble_padded(U_tiles: jnp.ndarray, nbr_rows: jnp.ndarray,
     ctr = tuple(slice(g, g + t) for t in ts)
     out = out.at[lead + ctr].set(U_tiles)
     for q, d3 in enumerate(DIRS):
-        _, dst = _region(ts, g, d3)
+        src, dst = _region(ts, g, d3)
         idx = nbr_rows[:, q]
         if lazy:
             gathered = gather_slab(slabs[1], jnp.maximum(idx, 0), d3,
                                    slabs[2])
         else:
-            gathered = take_tiles(slabs[q], jnp.maximum(idx, 0))
+            sh = tuple(s.stop - s.start for s in src)
+            gathered = take_tiles(slabs[q], jnp.maximum(idx, 0)).reshape(
+                T, nv, *sh
+            )
         ok = (idx >= 0).reshape(T, 1, 1, 1, 1)
         out = out.at[lead + dst].set(
             jnp.where(ok, gathered, out[lead + dst])
