@@ -156,11 +156,21 @@ def run_amr_shell(n, max_level, steps, sparse=True):
 
     extra = ""
     if sparse:
+        # the lane-packed streamed engine (quokka_tpu/amr/packed.py) is
+        # what fits this configuration in one 16 GB chip: split hydro/rad
+        # row pools, fused single-pass RK2, Pallas DMA row gathers,
+        # delayed in-place writes. Headroom near 1.0: capacity slack is
+        # pure HBM at this scale (recompiles on regrowth are the trade)
         extra = (
             "amr.sparse_min_level = 1\n"
             "amr.tile_size = 32 32 32\n"
             "amr.pool_chunk = 16\n"
-            "amr.pool_headroom = 1.15\n"
+            "amr.pool_packed = %s\n"
+            "amr.packed_chunk = 32\n"
+            "amr.pool_headroom = %s\n"
+        ) % (
+            os.environ.get("QUOKKA_BENCH_AMR_PACKED", "1"),
+            os.environ.get("QUOKKA_BENCH_AMR_HEADROOM", "1.02"),
         )
     pp = ParmParse.from_string(
         f"""

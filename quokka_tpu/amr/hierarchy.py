@@ -89,6 +89,13 @@ class AMRSimulation(Simulation):
         # (0 = whole-pool vmapped programs; required for 1024^3-class fine
         # levels whose face dicts would exceed HBM)
         self.pool_chunk = self.pp.get_int("amr.pool_chunk", 0)
+        # lane-packed streamed pool engine (benchmark-scale levels; see
+        # amr/packed.py): split hydro/rad row pools, Pallas DMA gathers,
+        # fused single-pass RK2, delayed in-place writes
+        self.pool_packed = bool(self.pp.get_int("amr.pool_packed", 0))
+        self.packed_chunk = self.pp.get_int(
+            "amr.packed_chunk", max(self.pool_chunk, 32)
+        )
         # capacity-bucket growth factor: larger amortizes recompiles,
         # smaller trims the HBM footprint of near-capacity pools
         self.pool_headroom = self.pp.get_float("amr.pool_headroom", 1.5)
@@ -116,6 +123,21 @@ class AMRSimulation(Simulation):
                         f"amr.tile_size {self.tile_shape} must be even and "
                         f"divide the level-{smin} extent "
                         f"{self.level_grids[smin].n_cell}"
+                    )
+            if self.pool_packed:
+                if self.decomp is not None:
+                    raise NotImplementedError(
+                        "amr.pool_packed is single-chip (benchmark mode)"
+                    )
+                if min(self.tile_shape) < 2 * self.ng[0] + 2:
+                    raise ValueError(
+                        f"amr.pool_packed needs tile_size >= 2*nghost+2 "
+                        f"= {2 * self.ng[0] + 2} (fused stage-1 halos)"
+                    )
+                if self.max_level - self.sparse_min_level > 1:
+                    raise NotImplementedError(
+                        "amr.pool_packed supports at most two packed "
+                        "levels (dense grandparent required)"
                     )
 
         # dynamic per-level state
@@ -611,7 +633,12 @@ class AMRSimulation(Simulation):
         g = self._g
 
         if self._is_pool(l):
-            octs = self._pool_octant_tags(l)
+            if self.pool_packed:
+                from . import packed_driver as pd
+
+                octs = pd.octant_tags_packed(self, l)
+            else:
+                octs = self._pool_octant_tags(l)
             meta_l = self.level_pool[l].meta
             tiles = []
             for s in range(meta_l.n_active):
@@ -658,10 +685,11 @@ class AMRSimulation(Simulation):
             cap = old.meta.grow_capacity(len(tiles), headroom=hr)
         else:
             cap = max(8, int(np.ceil(len(tiles) * hr)))
-        if self.pool_chunk:
+        if self.pool_chunk or self.pool_packed:
             # chunked execution maps fixed-size tile chunks: round the
             # capacity bucket up to a chunk multiple
-            c = self.pool_chunk
+            c = max(self.pool_chunk, self.packed_chunk if self.pool_packed
+                    else 0)
             cap = ((cap + c - 1) // c) * c
         if self.decomp is not None:
             # tile-axis sharding: every device owns cap/ndev slots
@@ -669,6 +697,25 @@ class AMRSimulation(Simulation):
             cap = ((cap + nd - 1) // nd) * nd
         meta = tp.TileMeta.build(child_shape, ts, tiles, self.periodic,
                                  capacity=cap)
+
+        if self.pool_packed:
+            from . import packed_driver as pd
+
+            self.level_pool[l + 1] = pd.build_packed_level(self, l, meta,
+                                                           old)
+            if l + 2 <= self.max_level and self.level_pool[l + 2] is not None:
+                gc = self.level_pool[l + 2]
+                gps, gpo = tp.parent_linkage(gc.meta, meta)
+                gc.parent_slot, gc.parent_off = gps, gpo
+                self.level_pool[l + 1].child_slots = tp.child_linkage(
+                    meta, gc.meta
+                )
+            if self._is_pool(l):
+                self.level_pool[l].child_slots = tp.child_linkage(
+                    self.level_pool[l].meta, meta
+                )
+            self.finest_level = max(self.finest_level, l + 1)
+            return True
 
         old_U = remap_dev = None
         if old is not None and old.meta.n_active:
@@ -774,6 +821,18 @@ class AMRSimulation(Simulation):
                         * self.level_grids[l].dx_min / ropts.chat)
                 dt0 = min(dt0, fac * dt_l)
         dense_top = min(finest, self.sparse_min_level - 1)
+        if self.pool_packed and finest > dense_top:
+            # packed pools: streamed per-level signal maxima (their 5D
+            # state never exists); dense levels via the dense-only jit
+            from . import packed_driver as pd
+
+            for l in range(dense_top + 1, finest + 1):
+                fac = (2**l) if self.do_subcycle else 1
+                smax = float(pd.packed_max_signal(self, l))
+                if smax > 0:
+                    dt0 = min(dt0, fac * self.cfl
+                              * self.level_grids[l].dx_min / smax)
+            finest = dense_top  # dt_fn below sees only the dense levels
         if finest not in self._dt_jits:
             nh = self.layout.nvar_hydro
             cfl = self.cfl
@@ -835,14 +894,25 @@ class AMRSimulation(Simulation):
         import dataclasses as _dc
 
         max_retries = 6
-        saved_U = [u for u in self.level_U]
-        saved_mask = [m for m in self.level_mask]
-        saved_steps = list(self.level_steps)
-        saved_finest = self.finest_level
-        saved_pool = [
-            _dc.replace(st) if st is not None else None
-            for st in self.level_pool
-        ]
+        if self.pool_packed:
+            # packed substeps advance in place with donated buffers: a
+            # pre-step stash would both defeat the memory design (an
+            # extra copy of a benchmark-scale hierarchy) and block the
+            # donation (live second references force copies). On failure
+            # the step aborts instead of retrying.
+            max_retries = 0
+            saved_U = saved_mask = saved_steps = None
+            saved_finest = self.finest_level
+            saved_pool = None
+        else:
+            saved_U = [u for u in self.level_U]
+            saved_mask = [m for m in self.level_mask]
+            saved_steps = list(self.level_steps)
+            saved_finest = self.finest_level
+            saved_pool = [
+                _dc.replace(st) if st is not None else None
+                for st in self.level_pool
+            ]
 
         for retry in range(max_retries + 1):
             nsub = 2**retry
@@ -863,6 +933,8 @@ class AMRSimulation(Simulation):
             if ok:
                 self.U = self.level_U[0]
                 return True
+            if saved_U is None:
+                return False  # packed mode: no stash to restore
             # restore and retry with halved dt
             self.level_U = [u for u in saved_U]
             self.level_mask = [m for m in saved_mask]
@@ -986,8 +1058,16 @@ class AMRSimulation(Simulation):
             self._parent_dt = dt_l
             if child_pool:
                 # pool children consume ghost-PADDED parent endpoints
+                # (packed children prolong (2g+2)-deep fused-halo
+                # backdrops -> donor width g+2)
                 saved_pad = getattr(self, "_parent_ctx", None)
-                pad = self._get_dense_pad(l)
+                if self.pool_packed:
+                    from . import packed as pk
+
+                    pad = self._get_dense_pad(l, width=pk.donor_pad_width(
+                        self._g))
+                else:
+                    pad = self._get_dense_pad(l)
                 self._parent_ctx = ("dense", (pad(U_old), pad(U_new)))
 
             # subcycled: 2 fine substeps per parent step; global stepping:
@@ -996,7 +1076,13 @@ class AMRSimulation(Simulation):
             w = 1.0 / n_fine
             fine_flux_sum = None
             for i in range(n_fine):
-                if child_pool:
+                if child_pool and self.pool_packed:
+                    from . import packed_driver as pd
+
+                    pd.timestep_pool_packed(
+                        self, l + 1, t_level + i * dt_l * w, dt_l * w
+                    )
+                elif child_pool:
                     self._timestep_pool(l + 1, t_level + i * dt_l * w, dt_l * w)
                 else:
                     self._timestep_with_subcycling(
@@ -1025,7 +1111,11 @@ class AMRSimulation(Simulation):
                         self._reflux(l, fluxes, fine_flux_sum, dt_l)
                     prof.sync(self.level_U[l])
             with prof.region(f"avgdown_L{l}"):
-                if child_pool:
+                if child_pool and self.pool_packed:
+                    from . import packed_driver as pd
+
+                    pd.avgdown_packed_into_dense(self, l)
+                elif child_pool:
                     self._pool_child_avgdown_dense(l)
                 else:
                     self._average_down(l)
@@ -1055,16 +1145,19 @@ class AMRSimulation(Simulation):
             self.level_opts[l], use_pallas=False, fuse_update=False
         )
 
-    def _get_dense_pad(self, l: int):
+    def _get_dense_pad(self, l: int, width: int | None = None):
         """Jitted full-layout ghost fill of a dense level (the padded
-        parent consumed by pool-child backdrops)."""
-        key = ("dense_pad", l)
+        parent consumed by pool-child backdrops). `width` overrides the
+        ghost width (the packed engine's fused halos prolong from
+        (g+2)-deep parents)."""
+        key = ("dense_pad", l, width)
         if key not in self._pool_jits:
             grid = self.level_grids[l]
+            ng = tuple(width for _ in self.ng) if width else self.ng
 
             def pad(U):
                 return fill_ghosts(
-                    U, self.ng, self.problem.bcs, self.layout,
+                    U, ng, self.problem.bcs, self.layout,
                     problem=self.problem, grid=grid,
                 )
 
@@ -1555,6 +1648,36 @@ class AMRSimulation(Simulation):
         corruption that average-down would launder into the coarse sum."""
         finest = self.finest_level
         dense_top = min(finest, self.sparse_min_level - 1)
+        if self.pool_packed and finest > dense_top:
+            from . import packed_driver as pd
+
+            total = None
+            for l in range(dense_top + 1, finest + 1):
+                part = pd.packed_level_sums(self, l)
+                total = part if total is None else total + part
+            # dense part: reuse the standard machinery with finest capped
+            # (the pool child's coverage still blanks covered cells)
+            # pool-top coverage over the last dense level
+            st_top = self.level_pool[dense_top + 1]
+            cov_top = ops.restrict_mask_any(st_top.coverage_dense(),
+                                            self.grid.active_axes)
+            vols = [self.level_grids[l].cell_volume()
+                    for l in range(dense_top + 1)]
+            dense_part = None
+            for l in range(dense_top + 1):
+                w = (jnp.ones(self.level_U[l].shape[1:], bool) if l == 0
+                     else self.level_mask[l])
+                if l == dense_top:
+                    w = w & jnp.logical_not(cov_top)
+                elif l < dense_top:
+                    w = w & jnp.logical_not(
+                        ops.restrict_mask_any(self.level_mask[l + 1],
+                                              self.grid.active_axes))
+                part = jnp.sum(
+                    jnp.where(w[None], self.level_U[l], 0.0), axis=(1, 2, 3)
+                ) * vols[l]
+                dense_part = part if dense_part is None else dense_part + part
+            return total + dense_part
         key = finest
         if not hasattr(self, "_compsum_jits"):
             self._compsum_jits: Dict[int, Callable] = {}
