@@ -55,6 +55,7 @@ import glob, sys
 jobs = int(sys.argv[1])
 weights = {  # ~minutes on the virtual CPU mesh (heavy files only)
     "tests/test_lean_update.py": 10,
+    "tests/test_packed_engine.py": 16,
     "tests/test_sharded.py": 6,
     "tests/test_tilepool_radhydro.py": 5,
     "tests/test_tilepool_hydro.py": 4,

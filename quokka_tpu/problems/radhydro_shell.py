@@ -210,14 +210,23 @@ class RadhydroShellProblem(Problem):
         return tags & (rho >= 1.0e-2 * RHO_0)
 
     def set_initial_conditions(self, grid):
+        # host-side (numpy) radius mesh: `_shell_density` is untraceable
+        # host code, and the jitted-IC fallback would otherwise build the
+        # f64 mesh on device, fail the trace, and redo everything eagerly
+        # with a 134 MB device->host transfer at the benchmark extent
         layout = self.physics.layout()
         shape = grid.n_cell
-        x, y, z = grid.cell_center_mesh()
+        xs = [np.asarray(grid.cell_centers(d, jnp.float64))
+              for d in range(3)]
         c = [0.5 * (grid.prob_lo[d] + grid.prob_hi[d]) for d in range(3)]
-        r = jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2)
-        r = jnp.broadcast_to(r, shape)
+        r = np.sqrt(
+            (xs[0][:, None, None] - c[0]) ** 2
+            + (xs[1][None, :, None] - c[1]) ** 2
+            + (xs[2][None, None, :] - c[2]) ** 2
+        )
+        r = np.broadcast_to(r, shape)
 
-        rho = jnp.asarray(_shell_density(np.asarray(r)))
+        rho = jnp.asarray(_shell_density(r))
 
         rt, Et, Ft = semi_analytic_profile()
         Erad = jnp.interp(r, jnp.asarray(rt), jnp.asarray(Et))
