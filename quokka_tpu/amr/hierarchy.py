@@ -1553,6 +1553,8 @@ class AMRSimulation(Simulation):
             prof.sync(U_new)
         if hasattr(self, "_substep_valid_flags"):
             self._substep_valid_flags.append(stats["valid"])
+        if "n_fofc" in stats:
+            self.fofc_counts.append(stats["n_fofc"])
 
         if self.layout.radiation_enabled and self._radiation is not None:
             radp = self._get_pool_rad(l)

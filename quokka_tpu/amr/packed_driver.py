@@ -542,6 +542,8 @@ def timestep_pool_packed(sim, l: int, t_level: float, dt_l: float):
         prof.sync(Uh_new)
     if hasattr(sim, "_substep_valid_flags"):
         sim._substep_valid_flags.append(stats["valid"])
+    if "n_fofc" in stats:
+        sim.fofc_counts.append(stats["n_fofc"])
 
     own_r = Ffine_r = None
     Ur_new = Ur_old

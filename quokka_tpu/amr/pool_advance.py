@@ -107,7 +107,7 @@ def advance_pool_hydro_rk2(
     # ---- stage 1
     Ug0 = fill1(U_pool)
     fl1, fv1 = _fluxes_of(Ug0, opts)
-    U1, fl1b, _, n1 = stage(Ug0, fl1, fv1)
+    U1, fl1b, fv1b, n1 = stage(Ug0, fl1, fv1)
 
     if opts.rk_order == 1:
         stats = {"n_fofc": n1}
@@ -115,11 +115,13 @@ def advance_pool_hydro_rk2(
             stats["fluxes"] = fl1b
         return U1, stats
 
-    # ---- stage 2: time-averaged flux applied to U0 (Heun / RK2-SSP)
+    # ---- stage 2: time-averaged flux applied to U0 (Heun / RK2-SSP).
+    # Both the fluxes AND the face velocities average the POST-BLEND
+    # stage-1 values (dense-path rk2_stage semantics).
     Ug1 = fill2(U1)
     fl2, fv2 = _fluxes_of(Ug1, opts)
     flA = {d: 0.5 * (fl1b[d] + fl2[d]) for d in fl2}
-    fvA = {d: 0.5 * (fv1[d] + fv2[d]) for d in fv2}
+    fvA = {d: 0.5 * (fv1b[d] + fv2[d]) for d in fv2}
     U2, flAb, _, n2 = stage(Ug0, flA, fvA)
 
     stats = {"n_fofc": n1 + n2}
@@ -248,6 +250,29 @@ def advance_pool_hydro_rk2_chunked(
 
     U1 = lax.cond(jnp.any(redo1), s1_redo, lambda _: U1, None)
     U1 = finalize(U1)
+    # stage-2 averages the POST-BLEND stage-1 fluxes (dense-path
+    # semantics, hydro/advance.py rk2_stage -> flux_avg; previously the
+    # chunked path re-averaged the raw high-order fl1 when stage-1 FOFC
+    # had fired). Zero mask when clean: _blend_fofc is then the identity
+    # and the per-chunk cond skips the first-order flux computation.
+    pad3 = tuple(t + 2 * g for t in ts)
+    mask1_p = lax.cond(
+        jnp.any(redo1),
+        lambda _: tp.fill_pool_ghosts_like(redo1[:, None], nbr, g)[:, 0],
+        lambda _: jnp.zeros((T,) + pad3, bool),
+        None,
+    )
+
+    def s1_fluxes_blended(ug0, m1_c):
+        fl1, fv1 = fluxes_c(ug0)
+
+        def blend(_):
+            fo_fl, fo_fv = fluxes_c(ug0, first_order=True)
+            return jax.vmap(
+                lambda a, b, c, d, m: _blend_fofc(a, b, c, d, m, opts)
+            )(fl1, fv1, fo_fl, fo_fv, m1_c)
+
+        return lax.cond(jnp.any(m1_c), blend, lambda _: (fl1, fv1), None)
 
     if opts.rk_order == 1:
         # faces from a dedicated chunked pass (rk1 is not the hot path)
@@ -264,10 +289,10 @@ def advance_pool_hydro_rk2_chunked(
     slabs1 = tp.slice_slabs(U1, g)
 
     def s2_body(args):
-        u0_c, u1_c, nbr_c, org_c, ps_c, po_c = args
+        u0_c, u1_c, nbr_c, org_c, ps_c, po_c, m1_c = args
         ug0 = fill_c(u0_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
         ug1 = fill_c(u1_c, nbr_c, org_c, ps_c, po_c, pp2, slabs1)
-        fl1, fv1 = fluxes_c(ug0)
+        fl1, fv1 = s1_fluxes_blended(ug0, m1_c)
         fl2, fv2 = fluxes_c(ug1)
         flA = {d: 0.5 * (fl1[d] + fl2[d]) for d in fl2}
         fvA = {d: 0.5 * (fv1[d] + fv2[d]) for d in fv2}
@@ -280,6 +305,7 @@ def advance_pool_hydro_rk2_chunked(
 
     U2, redo2, own, restr = lax.map(
         s2_body, (chunked(U_pool), chunked(U1)) + meta_in
+        + (chunked(mask1_p),)
     )
     U2, redo2 = unchunk(U2), unchunk(redo2)
     own = unchunk_tree(own)
@@ -290,10 +316,10 @@ def advance_pool_hydro_rk2_chunked(
         mask_p = tp.fill_pool_ghosts_like(redo2[:, None], nbr, g)[:, 0]
 
         def body(args):
-            u0_c, u1_c, nbr_c, org_c, ps_c, po_c, m_c = args
+            u0_c, u1_c, nbr_c, org_c, ps_c, po_c, m_c, m1_c = args
             ug0 = fill_c(u0_c, nbr_c, org_c, ps_c, po_c, pp1, slabs0)
             ug1 = fill_c(u1_c, nbr_c, org_c, ps_c, po_c, pp2, slabs1)
-            fl1, fv1 = fluxes_c(ug0)
+            fl1, fv1 = s1_fluxes_blended(ug0, m1_c)
             fl2, fv2 = fluxes_c(ug1)
             flA = {d: 0.5 * (fl1[d] + fl2[d]) for d in fl2}
             fvA = {d: 0.5 * (fv1[d] + fv2[d]) for d in fv2}
@@ -307,7 +333,8 @@ def advance_pool_hydro_rk2_chunked(
 
         out = lax.map(
             body,
-            (chunked(U_pool), chunked(U1)) + meta_in + (chunked(mask_p),),
+            (chunked(U_pool), chunked(U1)) + meta_in
+            + (chunked(mask_p), chunked(mask1_p)),
         )
         return jax.tree_util.tree_map(unchunk, out)
 

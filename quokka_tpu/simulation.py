@@ -207,6 +207,11 @@ class Simulation:
         # raw advanced-cell work (AMR's dense levels also advance unrefined
         # backdrop cells; cell_updates counts active cells only)
         self.cell_updates_raw = 0
+        # per-substep FOFC redo-cell counts (device scalars, appended by the
+        # pool/packed level steps without a host sync; `sum(int(c) for c in
+        # sim.fofc_counts)` on demand -- the reference prints the analogous
+        # redoFlag count per step at verbose>=2)
+        self.fofc_counts: list = []
         self.error_norm = float("nan")
         self.init_sums: Optional[np.ndarray] = None
         self._radiation = None  # attached lazily when radiation is enabled

@@ -225,6 +225,61 @@ def test_pool_chunked_matches_unchunked():
         )
 
 
+class _BlastAMR(_SmoothBumpAMR):
+    """Double rarefaction (Einfeldt/123 problem) confined inside the
+    refined region: diverging streams over near-vacuum pressure drive
+    (Egas - KE) negative under the high-order update, so FOFC fires ON
+    POOL TILES."""
+
+    name = "tilepool_blast"
+
+    def set_initial_conditions(self, grid):
+        shape = grid.n_cell
+        x, y, z = grid.cell_center_mesh(jnp.float32)
+        rho = jnp.ones(shape, jnp.float32)
+        band = jnp.abs(x - 0.5) < 0.12
+        vx = jnp.where(band, jnp.where(x < 0.5, -2.0, 2.0), 0.0)
+        vx = jnp.broadcast_to(vx.astype(jnp.float32), shape)
+        eint = jnp.full(shape, 0.2 / 0.4, jnp.float32)
+        U = jnp.zeros((6, *shape), jnp.float32)
+        U = U.at[RHO].set(rho).at[MX1].set(rho * vx)
+        return U.at[EGAS].set(eint + 0.5 * rho * vx * vx).at[EINT].set(eint)
+
+
+def test_pool_fofc_chunked_matches_unchunked():
+    """When stage-1 FOFC fires on pool tiles, the chunked path must blend
+    the stage-1 fluxes BEFORE the stage-2 time average exactly like the
+    unchunked path (dense-path rk2_stage semantics: the average uses the
+    POST-blend fl1/fv1 -- hydro/advance.py:1089). Regression for the
+    chunked path re-averaging the raw high-order stage-1 flux."""
+    n = 16
+    sim_u = AMRSimulation(
+        _BlastAMR(), _deck(n, 1, 1, 2), precision="single",
+    )
+    sim_u.set_initial_conditions()
+    sim_u.evolve()
+    assert sum(int(c) for c in sim_u.fofc_counts) > 0, (
+        "test premise: FOFC must fire on pool tiles"
+    )
+    sim_c = AMRSimulation(
+        _BlastAMR(), _deck(n, 1, 1, 2, pool_chunk=4), precision="single",
+    )
+    sim_c.set_initial_conditions()
+    sim_c.evolve()
+    assert sum(int(c) for c in sim_c.fofc_counts) > 0
+    assert sim_c.t == sim_u.t
+    np.testing.assert_allclose(
+        np.asarray(sim_c.level_U[0]), np.asarray(sim_u.level_U[0]),
+        rtol=3e-6, atol=1e-4,
+    )
+    su, sc = sim_u.level_pool[1], sim_c.level_pool[1]
+    np.testing.assert_allclose(
+        np.asarray(sc.U[: sc.meta.n_active]),
+        np.asarray(su.U[: su.meta.n_active]),
+        rtol=3e-6, atol=1e-4,
+    )
+
+
 def test_pool_sharded_matches_single():
     """Pool levels sharded over the 8-device CPU mesh (tile-axis
     NamedSharding; every inter-tile transfer is a gather, so GSPMD turns
