@@ -100,18 +100,19 @@ def row_gather(Up: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     n = rows.shape[0]
 
     def gk(idx_ref, src_ref, out_ref, sems):
-        # explicit i32 for the DMA slice index: under jax_enable_x64 the
-        # SMEM scalar load widens to i64, which tpu.memref_slice rejects
+        # explicit i32 for BOTH DMA slice indices: under jax_enable_x64
+        # the SMEM scalar load widens to i64 AND a bare python-int
+        # constant index traces as i64 -- tpu.memref_slice rejects either
         def row(r):
             return lax.convert_element_type(idx_ref[r], jnp.int32)
 
         for r in range(n):
             pltpu.make_async_copy(
-                src_ref.at[row(r)], out_ref.at[r], sems.at[r]
+                src_ref.at[row(r)], out_ref.at[jnp.int32(r)], sems.at[jnp.int32(r)]
             ).start()
         for r in range(n):
             pltpu.make_async_copy(
-                src_ref.at[row(r)], out_ref.at[r], sems.at[r]
+                src_ref.at[row(r)], out_ref.at[jnp.int32(r)], sems.at[jnp.int32(r)]
             ).wait()
 
     return pl.pallas_call(

@@ -599,7 +599,12 @@ def _block_spec_4d(nv, X, Y, Z, axis, BT):
     # NB: all index-map components must share the dtype of the grid indices
     # (with jax_enable_x64 bare python 0s become i64 and Mosaic rejects the
     # mixed-type index tuple), hence the explicit zeros_like.
-    BZ = 128
+    #
+    # Mosaic requires the last block dim to divide into 8/128 sublane/lane
+    # tiles OR equal the array dim: tile z by 128 lanes only when it
+    # divides evenly, otherwise keep the whole z axis in-block (small or
+    # odd-sized domains, e.g. 64^3)
+    BZ = 128 if Z % 128 == 0 else Z
     if axis == 0:
         grid = (pl.cdiv(Y, BT), pl.cdiv(Z, BZ))
         shape = (nv, X, BT, BZ)

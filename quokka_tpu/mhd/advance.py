@@ -48,6 +48,9 @@ class MHDOptions:
     limiter: str = "mc"
     density_floor: float = 0.0
     pressure_floor: float = 0.0
+    # fused per-axis Pallas sweep kernels (f32 3D; interpreted off-TPU);
+    # the corner-EMF/curl assembly stays XLA either way
+    use_pallas: bool = True
 
 
 # (axis, vax, wax) canonical frames, matching hydro._transverse_axes in 3D
@@ -179,7 +182,26 @@ def mhd_rhs(U: jnp.ndarray, Bf: Sequence[jnp.ndarray], opts: MHDOptions):
     face_rho = {}   # mass flux per face axis
     dU = None
 
-    for d in opts.active_axes:
+    use_kernel = (
+        opts.use_pallas
+        and prim.dtype == jnp.float32
+        and tuple(opts.active_axes) == (0, 1, 2)
+    )
+    if use_kernel:
+        # fused per-axis kernels: reconstruction + HLLD + the state-block
+        # divergence in one VMEM pass; only the div rows and the three
+        # face rows the CT corner assembly needs reach HBM
+        from .pallas_sweep import compute_mhd_axis_pallas
+
+        for d in opts.active_axes:
+            vax, wax = _FRAMES[d]
+            out = compute_mhd_axis_pallas(prim, Bf[d], d, opts)
+            dU = out[:5] if dU is None else dU + out[:5]
+            face_rho[d] = out[5]
+            face_emf[(wax, d)] = -out[6]
+            face_emf[(vax, d)] = out[7]
+
+    for d in () if use_kernel else opts.active_axes:
         vax, wax = _FRAMES[d]
         qL, qR = reconstruct.reconstruct_faces(prim, d,
                                                opts.reconstruction_order)

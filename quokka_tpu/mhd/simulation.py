@@ -113,6 +113,11 @@ class MHDSimulation:
             reconstruction_order=pp.get_int("mhd.reconstruction_order", 2),
             density_floor=pp.get_float("density_floor", 0.0),
             pressure_floor=pp.get_float("pressure_floor", 0.0),
+            # under a decomposition the solver is sharded by GSPMD roll
+            # lowering; a pallas_call would not auto-partition, so the
+            # kernels are single-chip only
+            use_pallas=bool(pp.get_int("mhd.use_pallas", 1))
+            and decomp is None,
         )
 
         self.decomp = decomp
@@ -138,6 +143,44 @@ class MHDSimulation:
         self._divb_jit = jax.jit(
             lambda Bf: jnp.max(jnp.abs(div_b(Bf, opts)))
         )
+
+        # fused multi-step window (the hydro driver's device-side loop,
+        # simulation.py:499-537): K steps per device program with the CFL
+        # dt computed on-device, so the host syncs once per window instead
+        # of once per step. dt/t bookkeeping runs in f64 regardless of the
+        # state dtype (matching the host loop's python-float arithmetic).
+        self.fused_window = pp.get_int("mhd.fused_window", 16)
+        cfl = self.cfl
+        dxm = self.grid.dx_min
+        stop = self.stop_time
+
+        from functools import partial
+
+        from jax import lax
+
+        @partial(jax.jit, static_argnums=3)
+        def window(U, Bf, t, K):
+            def body(carry, _):
+                U, Bf, t = carry
+                sig = max_signal_mhd(U, Bf, opts)
+                dt64 = jnp.minimum(
+                    cfl * dxm / sig.astype(jnp.float64), stop - t
+                )
+                dt64 = jnp.maximum(dt64, 0.0)
+                do = dt64 > 0.0
+                U2, B2 = advance_mhd_rk2(
+                    U, Bf, dt64.astype(U.dtype), opts
+                )
+                U2 = jnp.where(do, U2, U)
+                B2 = [jnp.where(do, b2, b) for b2, b in zip(B2, Bf)]
+                return (U2, B2, t + dt64), dt64
+
+            (Uf, Bff, tf), dts = lax.scan(
+                body, (U, Bf, t), None, length=K
+            )
+            return Uf, Bff, tf, dts
+
+        self._window_jit = window
 
     # ---------------------------------------------------------------- setup
     def set_initial_conditions(self):
@@ -180,9 +223,52 @@ class MHDSimulation:
         return jnp.concatenate([s, emag[None]])
 
     # ---------------------------------------------------------------- evolve
+    def _maybe_io(self):
+        # plotfile BEFORE checkpoint (reference ordering constraint,
+        # upstream issue #554; src/simulation.hpp:929-941)
+        if (self.plotfile_interval > 0
+                and self.istep % self.plotfile_interval == 0):
+            from ..io.plotfile import write_plotfile_mhd
+
+            write_plotfile_mhd(self)
+        if (self.checkpoint_interval > 0
+                and self.istep % self.checkpoint_interval == 0):
+            from ..io.checkpoint import write_checkpoint_mhd
+
+            write_checkpoint_mhd(self)
+
+    def _next_io_steps(self) -> int:
+        """Steps until the next plotfile/checkpoint event (inf if none)."""
+        best = 10**9
+        for iv in (self.plotfile_interval, self.checkpoint_interval):
+            if iv > 0:
+                best = min(best, iv - self.istep % iv)
+        return best
+
     def evolve(self):
         t0 = time.monotonic()
         while self.t < self.stop_time and self.istep < self.max_timesteps:
+            K = min(self.fused_window, self.max_timesteps - self.istep,
+                    self._next_io_steps())
+            # round down to a power of two: the window program is
+            # compiled per K (static scan length), so an arbitrary K
+            # schedule would recompile on every odd remainder
+            K = 1 << (K.bit_length() - 1) if K > 0 else 0
+            if K > 1 and not self.verbose:
+                # device-side window: one host sync per K steps
+                U, Bf, tf, dts = self._window_jit(
+                    self.U, self.Bf, jnp.asarray(self.t, jnp.float64), K
+                )
+                dts = np.asarray(dts)
+                n_done = int(np.count_nonzero(dts > 0.0))
+                if n_done == 0:
+                    break
+                self.U, self.Bf = U, Bf
+                self.t = float(tf)
+                self.istep += n_done
+                self.cell_updates += n_done * self.grid.num_cells
+                self._maybe_io()
+                continue
             sig = float(self._signal_jit(self.U, self.Bf))
             dt = self.cfl * self.grid.dx_min / sig
             dt = min(dt, self.stop_time - self.t)
@@ -196,18 +282,7 @@ class MHDSimulation:
             self.t += dt
             self.istep += 1
             self.cell_updates += self.grid.num_cells
-            # plotfile BEFORE checkpoint (reference ordering constraint,
-            # upstream issue #554; src/simulation.hpp:929-941)
-            if (self.plotfile_interval > 0
-                    and self.istep % self.plotfile_interval == 0):
-                from ..io.plotfile import write_plotfile_mhd
-
-                write_plotfile_mhd(self)
-            if (self.checkpoint_interval > 0
-                    and self.istep % self.checkpoint_interval == 0):
-                from ..io.checkpoint import write_checkpoint_mhd
-
-                write_checkpoint_mhd(self)
+            self._maybe_io()
 
         jax.block_until_ready(self.U)
         wall = time.monotonic() - t0

@@ -281,12 +281,39 @@ class RadiationAdvance:
                     n_it = jax.lax.pmax(n_it, red)
             return U2, {"newton_iters_max": n_it}
 
+        # fully-fused substep (pallas_substep.py): one kernel per IMEX
+        # stage -- 3-axis transport + predict/combine + the Newton matter
+        # coupling in VMEM. Exactly the single-group periodic ghost-free
+        # single-chip f32 hot path (the radhydro benchmark configuration).
+        fused_ok = (
+            not multigroup
+            and not dust_enabled
+            and opts.use_pallas
+            and not opts.mixed_precision_coupling
+            and tau_fn is None
+            and all_periodic
+            and not has_user_bc
+            and sim.decomp is None
+            and sim.grid.active_axes == (0, 1, 2)
+            and bool(sim.pp.get_int("radiation.fused_substep", 1))
+        )
+
+        def substep_core_dispatch(U, rad_src, dt):
+            if fused_ok and U.dtype == jnp.float32:
+                from .pallas_substep import fused_substep_pallas
+
+                return fused_substep_pallas(
+                    U, rad_src, dt, opts, eos, kappa_p, kappa_e, kappa_f,
+                    rad_start, dx,
+                )
+            return substep_core(U, rad_src, dt)
+
         def substep(U, time, dt):
             # python-float dt/time become f64 under jax_enable_x64; keep the
             # whole solve in the state dtype
             dt = jnp.asarray(dt, U.dtype)
             time = jnp.asarray(time, U.dtype)
-            return substep_core(U, eval_rad_src(time, U.dtype), dt)
+            return substep_core_dispatch(U, eval_rad_src(time, U.dtype), dt)
 
         if sim.decomp is not None:
             from jax.sharding import PartitionSpec as P

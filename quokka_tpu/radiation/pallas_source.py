@@ -25,6 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 # part of the jit cache key, so this composes with the outer jit trace.
 from jax._src.config import enable_x64 as _enable_x64
 
+from ..hydro.pallas_sweep import _interpret_mode
 from .source_terms import add_source_terms_single_group
 
 _BT = int(os.environ.get("QUOKKA_PALLAS_SOURCE_BT", "8"))
@@ -65,6 +66,7 @@ def source_update_pallas(U, rad_src, dt, stage, opts, eos,
             ],
             out_specs=pl.BlockSpec(shape4, imap4, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+            interpret=_interpret_mode(),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024,
             ),

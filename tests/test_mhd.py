@@ -295,3 +295,37 @@ def test_mhd_plotfile_roundtrip(tmp_path):
         np.testing.assert_array_equal(data[f"{ax}-BField-cc"], B_cc[d])
         np.testing.assert_array_equal(data[f"{ax}-BField-face"],
                                       np.asarray(sim.Bf[d]))
+
+
+def test_mhd_pallas_matches_xla():
+    """The fused per-axis Pallas sweep kernels (mhd/pallas_sweep.py,
+    interpreted off-TPU) must reproduce the XLA formulation to FMA-
+    contraction roundoff and keep div B at machine zero (the CT curl is
+    the same discrete curl of the same edge EMFs either way)."""
+    cfg = """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1. 1. 1.
+        amr.n_cell = 16 16 16
+        cfl = 0.3
+        stop_time = 1.0
+        max_timesteps = 4
+        verbose = 0
+        mhd.use_pallas = %d
+    """
+    sims = {}
+    for k in (0, 1):
+        sim = MHDSimulation(OrszagTangProblem(), ParmParse.from_string(cfg % k),
+                            precision="single")
+        sim.set_initial_conditions()
+        assert sim.opts.use_pallas == bool(k)
+        sim.evolve()
+        sims[k] = sim
+    assert sims[1].final_divb < 1e-5  # f32 roundoff scale of |B|~1 at 16^3
+    np.testing.assert_allclose(
+        np.asarray(sims[1].U), np.asarray(sims[0].U), rtol=3e-5, atol=3e-5,
+    )
+    for d in range(3):
+        np.testing.assert_allclose(
+            np.asarray(sims[1].Bf[d]), np.asarray(sims[0].Bf[d]),
+            rtol=3e-5, atol=3e-5,
+        )
