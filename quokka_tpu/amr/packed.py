@@ -98,6 +98,11 @@ def row_gather(Up: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     from jax.experimental.pallas import tpu as pltpu
 
     n = rows.shape[0]
+    # DMA semaphores live in a tiny dedicated memory (2 KB sflag space on
+    # v5e, ~512 slots); a big gather (benchmark-scale pools run n ~ 10^3
+    # rows) must RING a bounded pool: slot r % S is reclaimed by waiting
+    # on DMA r - S before DMA r starts. Up to S copies stay in flight.
+    S = min(n, 256)
 
     def gk(idx_ref, src_ref, out_ref, sems):
         # explicit i32 for BOTH DMA slice indices: under jax_enable_x64
@@ -106,14 +111,18 @@ def row_gather(Up: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
         def row(r):
             return lax.convert_element_type(idx_ref[r], jnp.int32)
 
+        def copy(r):
+            return pltpu.make_async_copy(
+                src_ref.at[row(r)], out_ref.at[jnp.int32(r)],
+                sems.at[jnp.int32(r % S)],
+            )
+
         for r in range(n):
-            pltpu.make_async_copy(
-                src_ref.at[row(r)], out_ref.at[jnp.int32(r)], sems.at[jnp.int32(r)]
-            ).start()
-        for r in range(n):
-            pltpu.make_async_copy(
-                src_ref.at[row(r)], out_ref.at[jnp.int32(r)], sems.at[jnp.int32(r)]
-            ).wait()
+            if r >= S:
+                copy(r - S).wait()
+            copy(r).start()
+        for r in range(max(0, n - S), n):
+            copy(r).wait()
 
     return pl.pallas_call(
         gk,
@@ -122,7 +131,7 @@ def row_gather(Up: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((n,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((S,))],
         ),
         out_shape=jax.ShapeDtypeStruct((n,) + Up.shape[1:], Up.dtype),
     )(rows.astype(jnp.int32), Up)

@@ -249,8 +249,19 @@ import os as _os
 _PALLAS_MAX_DIM = int(_os.environ.get("QUOKKA_PALLAS_MAX_DIM", "272"))
 
 
+def _pallas_shape_ok(spatial) -> bool:
+    """Lane-axis blocking rule: Mosaic blocks must tile z by a 128
+    multiple or take the whole axis. A large z that is NOT a 128 multiple
+    (e.g. the 264-padded AMR level of a 256^3 base) forces whole-z blocks
+    whose kernel live sets overflow the 128M VMEM (measured 324M at 264);
+    such shapes take the XLA formulation."""
+    Z = spatial[-1]
+    return Z <= 136 or Z % 128 == 0
+
+
 def _pallas_fits(Ug: jnp.ndarray) -> bool:
-    return max(Ug.shape[1:]) <= _PALLAS_MAX_DIM
+    return (max(Ug.shape[1:]) <= _PALLAS_MAX_DIM
+            and _pallas_shape_ok(Ug.shape[1:]))
 
 
 def compute_fluxes(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False,

@@ -28,6 +28,25 @@ from ..hydro import reconstruct
 IMEX_A22 = 1.0
 IMEX_A32 = 0.5
 
+# VMEM ceiling for the transport sweep kernels: same whole-sweep-axis
+# design and the same lane-axis blocking rule as the hydro kernels
+# (hydro/advance._pallas_fits) -- padded AMR levels whose z axis is
+# large and not a 128 multiple (e.g. 264 = 256 + 2*4 ghosts) force
+# whole-z blocks that overflow VMEM (measured 222M at 264), so those
+# shapes take the XLA formulation
+import os as _os
+
+_RAD_PALLAS_MAX_DIM = int(_os.environ.get(
+    "QUOKKA_RAD_PALLAS_MAX_DIM",
+    _os.environ.get("QUOKKA_PALLAS_MAX_DIM", "272"),
+))
+
+
+def _rad_pallas_fits(spatial) -> bool:
+    from ..hydro.advance import _pallas_shape_ok
+
+    return max(spatial) <= _RAD_PALLAS_MAX_DIM and _pallas_shape_ok(spatial)
+
 
 @dataclass(frozen=True)
 class RadOptions:
@@ -157,7 +176,8 @@ def compute_rad_fluxes(
     cons_flat = R.reshape(G * 4, *spatial)
 
     if (opts.use_pallas and len(active_axes) == 3
-            and prim_flat.dtype == jnp.float32 and tau_fn is None):
+            and prim_flat.dtype == jnp.float32 and tau_fn is None
+            and _rad_pallas_fits(spatial)):
         from .pallas_sweep import compute_rad_axis_flux_pallas
 
         return {
@@ -287,7 +307,8 @@ def rad_transport_div(
     divergence formulation.
     """
     if (opts.use_pallas and len(active_axes) == 3
-            and Ug.dtype == jnp.float32 and tau_fn is None):
+            and Ug.dtype == jnp.float32 and tau_fn is None
+            and _rad_pallas_fits(Ug.shape[1:])):
         from .pallas_sweep import compute_rad_div_pallas
 
         G = opts.n_groups

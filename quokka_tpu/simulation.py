@@ -260,12 +260,18 @@ class Simulation:
             int(_os.environ.get("QUOKKA_PALLAS_LEAN_MAX_DIM", "1088"))
             if _lean_ok else _PALLAS_MAX_DIM
         )
+        from .hydro.advance import _pallas_shape_ok
+
+        local_shape = tuple(
+            n // t for n, t in zip(self.grid.n_cell, tiles0)
+        )
         if (
             self.dtype != jnp.float32
             or not opts.use_pallas
             or len(opts.active_axes) != 3
             or int(self.pp.get_int("hydro.ghost_free", 1)) == 0
             or local_max > max_ext  # VMEM ceiling: XLA path instead
+            or not _pallas_shape_ok(local_shape)  # fat whole-z blocks
         ):
             return None
         allowed = (BC_PERIODIC, BC_REFLECT, BC_OUTFLOW)
