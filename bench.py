@@ -161,15 +161,22 @@ def run_amr_shell(n, max_level, steps, sparse=True):
         # row pools, fused single-pass RK2, Pallas DMA row gathers,
         # delayed in-place writes. Headroom near 1.0: capacity slack is
         # pure HBM at this scale (recompiles on regrowth are the trade)
+        # 16^3 tiles: the thin tagged shell band wastes less pool state
+        # than 32^3 tiles (5.9 vs 7.9 GB at the 256^3+2lev config), which
+        # is what keeps every phase of the step inside the chip's real
+        # HBM (the axon runtime pages host-side above it -- functional
+        # but ~100x too slow to benchmark)
+        ts = os.environ.get("QUOKKA_BENCH_AMR_TILE", "16")
         extra = (
             "amr.sparse_min_level = 1\n"
-            "amr.tile_size = 32 32 32\n"
-            "amr.pool_chunk = 16\n"
+            f"amr.tile_size = {ts} {ts} {ts}\n"
+            "amr.pool_chunk = 64\n"
             "amr.pool_packed = %s\n"
-            "amr.packed_chunk = 32\n"
+            "amr.packed_chunk = %s\n"
             "amr.pool_headroom = %s\n"
         ) % (
             os.environ.get("QUOKKA_BENCH_AMR_PACKED", "1"),
+            os.environ.get("QUOKKA_BENCH_AMR_CHUNK", "128"),
             os.environ.get("QUOKKA_BENCH_AMR_HEADROOM", "1.02"),
         )
     pp = ParmParse.from_string(
@@ -193,6 +200,8 @@ def run_amr_shell(n, max_level, steps, sparse=True):
     )
     sim = AMRSimulation(RadhydroShellProblem(), pp, precision="single")
     sim.set_initial_conditions()
+    if os.environ.get("QUOKKA_BENCH_AMR_COMPACT", "1") == "1":
+        _compact_device_state(sim)
     # warm: compile + settle the hierarchy
     sim.max_timesteps = 2
     sim.evolve()
@@ -202,6 +211,44 @@ def run_amr_shell(n, max_level, steps, sparse=True):
     sim.evolve()
     elapsed = time.perf_counter() - t0
     return (sim.cell_updates - n0) / elapsed / 1e6, sim.finest_level
+
+
+def _compact_device_state(sim):
+    """Defragment device memory after the IC/regrid phase: round-trip the
+    big persistent arrays (pool states, level states) through the host so
+    they re-allocate into a clean arena. The streamed regrid builds churn
+    multi-GB transients; the leftover fragmentation makes later mid-size
+    allocations fail with RESOURCE_EXHAUSTED even when total live bytes
+    (~9 GB of 16) are nowhere near the chip's HBM (measured: the exact
+    failing program succeeds in a fresh process with an identical live
+    set)."""
+    import gc
+
+    import jax
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    def roundtrip(arrs):
+        host = [None if a is None else np.asarray(a) for a in arrs]
+        for a in arrs:
+            if a is not None:
+                try:
+                    a.delete()
+                except Exception:
+                    pass
+        gc.collect()
+        return [None if h is None else jnp.asarray(h) for h in host]
+
+    for st in getattr(sim, "level_pool", []):
+        if st is None:
+            continue
+        if getattr(st, "packed", False):
+            st.Uh, st.Ur = roundtrip([st.Uh, st.Ur])
+        elif getattr(st, "U", None) is not None:
+            (st.U,) = roundtrip([st.U])
+    sim.level_U = roundtrip(list(sim.level_U))
+    sim.U = sim.level_U[0]
 
 
 def run_mhd(n, steps):
@@ -240,7 +287,72 @@ def run_mhd(n, steps):
     return (sim.cell_updates - n0) / (_t.perf_counter() - t0) / 1e6
 
 
+def _run_leg_subprocess(leg: str, timeout_s: int, extra_env=None):
+    """Run one benchmark leg as a child process and parse its JSON line.
+
+    Each leg gets a FRESH TPU context: legs can neither fragment each
+    other's device memory nor take the whole bench down with them (the
+    round-4 driver run lost the AMR number to exactly that). Returns the
+    parsed dict or {"error": ...}."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["QUOKKA_BENCH_LEG"] = leg
+    env.update(extra_env or {})
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"leg {leg} timed out after {timeout_s}s"}
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    tail = (out.stderr or out.stdout or "").strip().splitlines()
+    return {"error": (" | ".join(tail[-3:]))[:300] or
+            f"leg {leg} produced no JSON (rc={out.returncode})"}
+
+
+def _leg_main(leg: str):
+    """Child-process entry: run ONE leg, print one JSON line."""
+    if leg == "hydro":
+        v = run_hydro(N, STEPS, "single")
+        print(json.dumps({"value": round(v, 3)}))
+    elif leg == "radhydro":
+        rh, nsub = run_radhydro(N, STEPS, "single")
+        print(json.dumps({"radhydro_mzones": round(rh, 3),
+                          "radhydro_substeps": nsub}))
+    elif leg == "plm":
+        v = run_hydro(N, STEPS, "single", order=2)
+        print(json.dumps({"hydro_plm_mzones": round(v, 3)}))
+    elif leg == "f64":
+        v = run_hydro(F64_N, max(3, STEPS // 2), "double")
+        print(json.dumps({"hydro_f64_mzones": round(v, 3)}))
+    elif leg == "mhd":
+        v = run_mhd(int(os.environ.get("QUOKKA_BENCH_MHD_N", "256")), STEPS)
+        print(json.dumps({"mhd_ct_mzones": round(v, 3)}))
+    elif leg.startswith("amr:"):
+        _, n_amr, lev_amr = leg.split(":")
+        mz, finest = run_amr_shell(int(n_amr), int(lev_amr),
+                                   max(4, STEPS // 2))
+        print(json.dumps({"amr_active_mzones": round(mz, 3),
+                          "amr_finest_level": finest}))
+    else:
+        raise SystemExit(f"unknown bench leg {leg}")
+
+
 def main():
+    leg = os.environ.get("QUOKKA_BENCH_LEG", "")
+    if leg:
+        _leg_main(leg)
+        return
+
     if MODE == "amr":
         mz, finest = run_amr_shell(
             int(os.environ.get("QUOKKA_BENCH_AMR_N", "64")),
@@ -286,50 +398,72 @@ def main():
         "metric": f"Sedov {N}^3 unigrid hydro PPM Mzone-updates/sec/chip",
         "unit": "Mzones/s/chip",
     }
-    per_chip = run_hydro(N, STEPS, "single")
-    result["value"] = round(per_chip, 3)
-    result["vs_baseline"] = round(per_chip / 50.0, 4)
+    subproc = os.environ.get("QUOKKA_BENCH_SUBPROC", "1") == "1"
+
+    def leg(name, timeout_s, extra_env=None):
+        if not subproc:
+            # in-process fallback (QUOKKA_BENCH_SUBPROC=0): used by CPU CI
+            import io
+            from contextlib import redirect_stdout
+
+            buf = io.StringIO()
+            try:
+                with redirect_stdout(buf):
+                    _leg_main(name)
+                for line in reversed(buf.getvalue().strip().splitlines()):
+                    if line.strip().startswith("{"):
+                        return json.loads(line)
+                return {"error": "no JSON from in-process leg"}
+            except Exception as e:
+                return {"error": str(e)[:300]}
+        return _run_leg_subprocess(name, timeout_s, extra_env)
+
+    r = leg("hydro", int(os.environ.get("QUOKKA_BENCH_LEG_TIMEOUT", "1500")))
+    if "value" in r:
+        result["value"] = r["value"]
+        result["vs_baseline"] = round(r["value"] / 50.0, 4)
+    else:
+        result["value"] = 0.0
+        result["vs_baseline"] = 0.0
+        result["hydro_error"] = r.get("error", "?")
 
     if WITH_RADHYDRO:
-        try:
-            rh, nsub = run_radhydro(N, STEPS, "single")
-            result["radhydro_mzones"] = round(rh, 3)
-            result["radhydro_substeps"] = nsub
-            result["radhydro_vs_v100"] = round(rh / 22.55, 4)
-        except Exception as e:  # never lose the headline number
-            result["radhydro_error"] = str(e)[:200]
+        r = leg("radhydro", 1500)
+        if "radhydro_mzones" in r:
+            result.update(r)
+            result["radhydro_vs_v100"] = round(r["radhydro_mzones"] / 22.55, 4)
+        else:
+            result["radhydro_error"] = r.get("error", "?")
 
     if WITH_PLM:
-        try:
-            plm = run_hydro(N, STEPS, "single", order=2)
-            result["hydro_plm_mzones"] = round(plm, 3)
-            result["plm_vs_v100"] = round(plm / 157.75, 4)
-        except Exception as e:
-            result["hydro_plm_error"] = str(e)[:200]
+        r = leg("plm", 1500)
+        if "hydro_plm_mzones" in r:
+            result.update(r)
+            result["plm_vs_v100"] = round(r["hydro_plm_mzones"] / 157.75, 4)
+        else:
+            result["hydro_plm_error"] = r.get("error", "?")
 
     if WITH_F64:
-        try:
-            f64 = run_hydro(F64_N, max(3, STEPS // 2), "double")
-            result["hydro_f64_mzones"] = round(f64, 3)
+        r = leg("f64", 1500)
+        if "hydro_f64_mzones" in r:
+            result.update(r)
             result["f64_size"] = F64_N
-        except Exception as e:
-            result["hydro_f64_error"] = str(e)[:200]
+        else:
+            result["hydro_f64_error"] = r.get("error", "?")
 
     if os.environ.get("QUOKKA_BENCH_MHD", "1") == "1":
-        try:
-            mhd = run_mhd(int(os.environ.get("QUOKKA_BENCH_MHD_N", "256")),
-                          STEPS)
-            result["mhd_ct_mzones"] = round(mhd, 3)
-        except Exception as e:
-            result["mhd_error"] = str(e)[:200]
+        r = leg("mhd", 1500)
+        if "mhd_ct_mzones" in r:
+            result.update(r)
+        else:
+            result["mhd_error"] = r.get("error", "?")
 
     if os.environ.get("QUOKKA_BENCH_AMR", "1") == "1":
         # the REFERENCE benchmark configuration first: shell 256^3 + 2
         # levels (paper/strong_scaling.csv:2), tile-pool fine levels,
-        # ACTIVE-cell-counted FOM. If it fails (e.g. a compile-resource
-        # failure on the remote TPU compile helper), fall back down a
-        # config ladder so the round still captures an AMR number; the
-        # config that produced the number is reported alongside it.
+        # ACTIVE-cell-counted FOM. If it fails, fall back down a config
+        # ladder so the round still captures an AMR number; the config
+        # that produced the number is reported alongside it.
         ladder = [
             (int(os.environ.get("QUOKKA_BENCH_AMR_N", "256")),
              int(os.environ.get("QUOKKA_BENCH_AMR_LEVELS", "2"))),
@@ -337,20 +471,19 @@ def main():
             (64, 1),
         ]
         for n_amr, lev_amr in ladder:
-            try:
-                mz, finest = run_amr_shell(n_amr, lev_amr,
-                                           max(4, STEPS // 2))
-                result["amr_active_mzones"] = round(mz, 3)
-                result["amr_finest_level"] = finest
+            r = leg(f"amr:{n_amr}:{lev_amr}",
+                    int(os.environ.get("QUOKKA_BENCH_AMR_TIMEOUT", "2400")))
+            if "amr_active_mzones" in r:
+                result.update(r)
                 result["amr_config"] = f"shell {n_amr}^3 + {lev_amr} levels"
-                result["amr_vs_v100"] = round(mz / 4.95, 4)
+                result["amr_vs_v100"] = round(r["amr_active_mzones"] / 4.95,
+                                              4)
                 break
-            except Exception as e:
-                result.setdefault("amr_shell_error", str(e)[:200])
-                result["amr_shell_failed_configs"] = (
-                    result.get("amr_shell_failed_configs", "")
-                    + f"{n_amr}^3+{lev_amr}lev "
-                ).strip()
+            result.setdefault("amr_shell_error", r.get("error", "?"))
+            result["amr_shell_failed_configs"] = (
+                result.get("amr_shell_failed_configs", "")
+                + f"{n_amr}^3+{lev_amr}lev "
+            ).strip()
 
     print(json.dumps(result))
 

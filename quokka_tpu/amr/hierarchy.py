@@ -325,51 +325,90 @@ class AMRSimulation(Simulation):
         return self._pool_rad[l]
 
     # ---------------------------------------------------------------- reflux
-    def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float,
-                _build_only: bool = False):
-        """Apply the coarse-fine flux mismatch to uncovered coarse cells
-        (reference `YAFluxRegister::Reflux` semantics). One jitted call per
-        level (eager per-op dispatch measured 10.8 s/call over the remote
-        TPU attachment)."""
-        if l not in self._reflux_jits:
+    #
+    # The flux-register correction is applied in TWO stages (reference
+    # `YAFluxRegister` CrseInit/FineAdd/Reflux semantics): the COARSE side
+    # is converted into a cell-centered correction field EAGERLY, right
+    # after the level's fluxes exist (`_reflux_seed`), so the full-size
+    # face dicts (3 x nvar full fields -- 2.4 GB at the 256^3 benchmark
+    # root) never stay resident through the radiation subcycle and the
+    # whole fine-level recursion; the FINE side is added when the
+    # subcycled children finish (`_reflux_apply`). The correction is
+    # linear in the fluxes, so seed(F_fine) - seed(F_crse) equals the
+    # one-shot formulation up to FP re-association (conservation still
+    # telescopes exactly: each stage's cell sums cancel per face).
+    def _reflux_corr(self, l: int, F: dict, mask_fine, dt_c, acc=None):
+        """Cell-centered reflux correction contribution of face-flux dict
+        `F` on the coarse-fine boundary faces of `mask_fine` (interior
+        shape, F.ncomp components).
+
+        One jitted program PER AXIS, consuming (popping) `F` as it goes:
+        at the 256^3 benchmark root the three full-size face fields are
+        1.3-2.4 GB next to ~8 GB of pool state, so neither a single
+        3-axis program's temp arena nor the full dict may stay live."""
+        key = ("reflux_corr", l)
+        if key not in self._reflux_jits:
             opts = self.level_opts[l]
             ng = self.ng
             active = self.grid.active_axes
 
-            def reflux_fn(U, mask_fine, F_crse, F_fine_sum, dt_c):
+            def corr_axis(Fd, mask_fine, dt_c, acc, d):
                 from ..stencil import interior
 
                 cmask = ops.restrict_mask_any(mask_fine, active)
-                correction = None
-                for d, Fc in F_crse.items():
-                    # boundary faces: covered/uncovered status differs
-                    # across the face (mask in padded coords)
-                    m_p = jnp.pad(cmask, [(g, g) for g in ng])
-                    boundary = m_p != sh(m_p, -1, d)
-                    dF = jnp.where(boundary[None], F_fine_sum[d] - Fc, 0.0)
-                    contrib = (dF - sh(dF, 1, d + 1)) * (dt_c / opts.dx[d])
-                    correction = (contrib if correction is None
-                                  else correction + contrib)
-                corr_int = interior(correction, ng)
-                if corr_int.shape[0] < U.shape[0]:
+                m_p = jnp.pad(cmask, [(g, g) for g in ng])
+                # boundary faces: covered/uncovered status differs
+                # across the face (mask in padded coords)
+                boundary = m_p != sh(m_p, -1, d)
+                dF = jnp.where(boundary[None], Fd, 0.0)
+                contrib = interior(
+                    (dF - sh(dF, 1, d + 1)) * (dt_c / opts.dx[d]), ng
+                )
+                return contrib if acc is None else acc + contrib
+
+            self._reflux_jits[key] = jax.jit(
+                corr_axis, static_argnums=(4,), donate_argnums=(3,)
+            )
+        fn = self._reflux_jits[key]
+        dt_a = jnp.asarray(dt_c, self.level_U[l].dtype)
+        corr = acc
+        for d in sorted(F):
+            Fd = F.pop(d)  # free each face field as soon as it is seeded
+            corr = fn(Fd, mask_fine, dt_a, corr, d)
+        return corr
+
+    def _reflux_apply(self, l: int, corr_crse, corr_fine, mask_fine):
+        """U[l] += (corr_fine - corr_crse) on uncovered coarse cells."""
+        key = ("reflux_apply", l)
+        if key not in self._reflux_jits:
+            active = self.grid.active_axes
+
+            def apply_fn(U, mask_fine, corr_crse, corr_fine):
+                cmask = ops.restrict_mask_any(mask_fine, active)
+                corr = corr_fine - corr_crse
+                if corr.shape[0] < U.shape[0]:
                     # flux register covers only the leading components
                     pad = jnp.zeros(
-                        (U.shape[0] - corr_int.shape[0], *corr_int.shape[1:]),
-                        corr_int.dtype,
+                        (U.shape[0] - corr.shape[0], *corr.shape[1:]),
+                        corr.dtype,
                     )
-                    corr_int = jnp.concatenate([corr_int, pad], axis=0)
+                    corr = jnp.concatenate([corr, pad], axis=0)
                 # apply only to uncovered coarse cells (covered ones get
                 # averaged down)
-                U = U + jnp.where(cmask[None], 0.0, corr_int)
+                U = U + jnp.where(cmask[None], 0.0, corr)
                 return self._rad_fixup(U)
 
-            self._reflux_jits[l] = jax.jit(reflux_fn)
-        if _build_only:
-            return
-        self.level_U[l] = self._reflux_jits[l](
-            self.level_U[l], self.level_mask[l + 1], F_crse, F_fine_sum,
-            jnp.asarray(dt_c, self.level_U[l].dtype),
+            self._reflux_jits[key] = jax.jit(apply_fn)
+        self.level_U[l] = self._reflux_jits[key](
+            self.level_U[l], mask_fine, corr_crse, corr_fine
         )
+
+    def _reflux(self, l: int, F_crse: dict, F_fine_sum: dict, dt_c: float):
+        """One-shot convenience (dense children): seed both sides, apply."""
+        mask_fine = self.level_mask[l + 1]
+        corr_c = self._reflux_corr(l, F_crse, mask_fine, dt_c)
+        corr_f = self._reflux_corr(l, F_fine_sum, mask_fine, dt_c)
+        self._reflux_apply(l, corr_c, corr_f, mask_fine)
 
     def _rad_fixup(self, U):
         """Radiation floor after reflux corrections (the radiation analog of
@@ -976,13 +1015,44 @@ class AMRSimulation(Simulation):
         if "valid" in _stats and hasattr(self, "_substep_valid_flags"):
             self._substep_valid_flags.append(_stats["valid"])
 
+        # eager coarse-side flux-register seeding at the root: convert the
+        # hydro face fluxes into the cell-centered reflux correction NOW so
+        # the 3 full-size face fields are freed before the radiation
+        # subcycle and the fine-level recursion (at the 256^3 benchmark
+        # root they are 1.3-2.4 GB that would otherwise stay resident
+        # through everything below). l > 0 seeds after `publish` (its
+        # fluxes must be own-mask-neutralized first).
+        seed_corr = None
+        seed_mask = None
+        want_seed = l < self.finest_level and self.do_reflux
+        if want_seed:
+            seed_mask = (
+                self.level_pool[l + 1].coverage_dense()
+                if self._is_pool(l + 1) else self.level_mask[l + 1]
+            )
+        if want_seed and l == 0:
+            seed_corr = self._reflux_corr(l, fluxes, seed_mask, dt_l)
+            fluxes = None
+
         # radiation subcycle at this level (reference order: hydro then
         # radiation at each level, QuokkaSimulation::advanceSingleTimestepAtLevel)
         if self.layout.radiation_enabled and self._radiation is not None:
             radL = self._get_level_rad(l)
             if l == 0:
+                # seeded root: consume each substep's transport flux into
+                # the register correction as it is produced -- the
+                # accumulated full-size flux_sum dict never exists
+                consume = None
+                rad_seed = {"corr": None}
+                if fluxes is None:
+                    def consume(eff, w):
+                        Fw = {d: w * Fd for d, Fd in eff.items()}
+                        rad_seed["corr"] = self._reflux_corr(
+                            l, Fw, seed_mask, dt_l, acc=rad_seed["corr"]
+                        )
                 with prof.region(f"rad_L{l}"):
-                    U_new, rad_flux = radL.subcycle(U_new, t_level, dt_l)
+                    U_new, rad_flux = radL.subcycle(U_new, t_level, dt_l,
+                                                    flux_reduce=consume)
                     prof.sync(U_new)
             else:
                 with prof.region(f"rad_L{l}"):
@@ -1001,11 +1071,21 @@ class AMRSimulation(Simulation):
                 )
             # radiation components join the flux register like hydro ones;
             # the dict stays at THIS level's resolution (the reflux against
-            # level l+1 reads it) -- restriction to the parent happens below
-            fluxes = {
-                d: jnp.concatenate([fluxes[d], rad_flux[d]], axis=0)
-                for d in fluxes
-            }
+            # level l+1 reads it) -- restriction to the parent happens below.
+            # At the root the hydro part is already seeded: seed the
+            # radiation part too and free the face dict (per-component the
+            # correction is independent, so seeding the parts separately is
+            # bit-identical to seeding the concatenated dict).
+            if fluxes is None:
+                seed_corr = jnp.concatenate(
+                    [seed_corr, rad_seed["corr"]], axis=0
+                )
+                rad_flux = None
+            else:
+                fluxes = {
+                    d: jnp.concatenate([fluxes[d], rad_flux[d]], axis=0)
+                    for d in fluxes
+                }
         if l > 0:
             # one jitted pass: neutralize inactive-region fluxes (garbage-
             # territory faces outside the level's mask must not reach the
@@ -1030,6 +1110,12 @@ class AMRSimulation(Simulation):
             fluxes, restricted_for_parent = self._publish_jits[l](
                 fluxes, self.level_mask[l]
             )
+            if want_seed:
+                # seed from the own-mask-neutralized fluxes and free them
+                # before the child recursion (the restricted copy for the
+                # parent's register is 8x smaller and survives)
+                seed_corr = self._reflux_corr(l, fluxes, seed_mask, dt_l)
+                fluxes = None
         self.level_U[l] = U_new
         self.level_steps[l] += 1
         # FOM counts ACTIVE cells only (the reference counts real patch
@@ -1105,10 +1191,13 @@ class AMRSimulation(Simulation):
                 with prof.region(f"reflux_L{l}"):
                     if child_pool:
                         self._pool_child_reflux_dense(
-                            l, fluxes, fine_flux_sum, dt_l
+                            l, seed_corr, fine_flux_sum, dt_l
                         )
                     else:
-                        self._reflux(l, fluxes, fine_flux_sum, dt_l)
+                        corr_f = self._reflux_corr(
+                            l, fine_flux_sum, seed_mask, dt_l
+                        )
+                        self._reflux_apply(l, seed_corr, corr_f, seed_mask)
                     prof.sync(self.level_U[l])
             with prof.region(f"avgdown_L{l}"):
                 if child_pool and self.pool_packed:
@@ -1393,11 +1482,12 @@ class AMRSimulation(Simulation):
         return key
 
     # ---- pool reflux / average-down (level l against a pool child l+1)
-    def _pool_child_reflux_dense(self, l: int, F_crse: dict,
+    def _pool_child_reflux_dense(self, l: int, corr_crse,
                                  F_fine_pool_sum: dict, dt_c: float):
         """Dense level l refluxed against a pool child: assemble the
-        child's restricted tile faces into dense face arrays and reuse the
-        dense reflux kernel."""
+        child's restricted tile faces into dense face arrays (transient,
+        inside one program), convert to the fine-side correction, and
+        apply against the eagerly-seeded coarse correction."""
         st = self.level_pool[l + 1]
         # fine_faces_to_dense closes over host metadata (tile index
         # arrays); jit per regrid epoch (keyed on meta.epoch, evicting
@@ -1411,19 +1501,10 @@ class AMRSimulation(Simulation):
             self._pool_jits[key] = fn
             F_fine = fn
         F_fine_dense = F_fine(F_fine_pool_sum)
-        # reuse the dense reflux kernel with the pool's coverage mask
-        self._reflux_with_mask(l, F_crse, F_fine_dense, dt_c,
-                               st.coverage_dense())
-
-    def _reflux_with_mask(self, l: int, F_crse: dict, F_fine_sum: dict,
-                          dt_c: float, mask_fine):
-        """The dense `_reflux` body with an explicit fine mask."""
-        if l not in self._reflux_jits:
-            self._reflux(l, F_crse, F_fine_sum, dt_c, _build_only=True)
-        self.level_U[l] = self._reflux_jits[l](
-            self.level_U[l], mask_fine, F_crse, F_fine_sum,
-            jnp.asarray(dt_c, self.level_U[l].dtype),
-        )
+        mask_fine = st.coverage_dense()
+        corr_f = self._reflux_corr(l, F_fine_dense, mask_fine, dt_c)
+        del F_fine_dense
+        self._reflux_apply(l, corr_crse, corr_f, mask_fine)
 
     def _pool_child_avgdown_dense(self, l: int):
         """Dense level l overwritten with restricted pool-child data."""

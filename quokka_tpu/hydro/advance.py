@@ -97,6 +97,7 @@ def _face_state(q: jnp.ndarray, axis: int, opts: HydroOptions) -> FaceState:
     eos = opts.eos
     vax, wax = _transverse_axes(axis, max(opts.ndim, 1))
     rho = q[PRHO]
+    rinv = 1.0 / rho
     u = q[PVX1 + axis]
     v = q[PVX1 + vax]
     w = q[PVX1 + wax]
@@ -120,23 +121,23 @@ def _face_state(q: jnp.ndarray, axis: int, opts: HydroOptions) -> FaceState:
             eint = None
             Eint = q[PEINT]
         P = (gam - 1.0) * eint if eint is not None else q[PPRES]
-        cs = jnp.sqrt(gam * P / rho)
+        cs = jnp.sqrt(gam * P * rinv)
         E = P / (gam - 1.0) + ke
     elif opts.reconstruct_eint:
         eint_spec = q[PPRES]
         P = eos.pressure(rho, eint_spec * rho)
         Eint = rho * q[PEINT]
-        cs = eos.sound_speed(rho, P)
+        cs = jnp.sqrt(eos.gamma * P * rinv)
         E = eos.eint_from_pres(rho, P) + ke
     else:
         P = q[PPRES]
         Eint = q[PEINT]
-        cs = eos.sound_speed(rho, P)
+        cs = jnp.sqrt(eos.gamma * P * rinv)
         E = eos.eint_from_pres(rho, P) + ke
 
     scalars = q[SCALAR0:] if q.shape[0] > SCALAR0 else None
     return FaceState(rho=rho, u=u, v=v, w=w, P=P, cs=cs, E=E, Eint=Eint,
-                     scalars=scalars, gamma=gam)
+                     scalars=scalars, gamma=gam, rinv=rinv)
 
 
 def _compute_axis_flux(
@@ -693,25 +694,67 @@ def _advance_hydro_rk2_fused(
             Ux = euler.sync_dual_energy(Ux)
         return Ux
 
+    # fused pointwise stage finish (apply + PdV + valid + floors + dual
+    # sync in ONE Pallas pass): ghost-free unpadded common path only; the
+    # mixture (chem) EOS keeps the XLA formulation (its per-cell gamma
+    # gather does not lower in Mosaic)
+    from .pallas_sweep import apply_update_pallas
+
+    use_apply_kernel = (
+        ghost_free
+        and not accum
+        and not return_fluxes
+        and getattr(eos, "gamma_of_scalars", None) is None
+        and all(g == 0 for g in ng)
+        and U.shape[1] % 8 == 0 and U.shape[2] % 8 == 0
+        and U.shape[3] % 128 == 0
+        and bool(int(_os.environ.get("QUOKKA_PALLAS_APPLY", "1")))
+    )
+
     # ---- stage 1
-    if accum:
-        U1_try = _apply_from_divs(U, Ug0, r1["div"], r1["dvel"], dt, ng, opts)
-    else:
-        U1_try = _apply_from_divs(
-            U, Ug0, _sum_divs(r1["divs"]), _sum_divs(r1["dvels"]), dt, ng, opts
+    if use_apply_kernel:
+        U1_fin, ok1 = apply_update_pallas(
+            U, Ug0, r1["divs"], r1["dvels"], dt, opts
         )
-    redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
-    n1 = jnp.sum(redo1)
-    fired1 = redo_any_fn(redo1)
+        n1 = jnp.sum(~ok1)
+        fired1 = redo_any_fn(jnp.logical_not(ok1))
 
-    def _redo1_branch(_):
-        fl, fv, flh, fvh, mask_p = blend_stage1(redo1)
-        return finalize(apply_fluxes(fl, fv, mask_p, flh, fvh))
+        def _redo1_branch_k(_):
+            # rare branch: rebuild the cell mask the classic way (the
+            # kernel only kept per-block flags), then blend + re-apply
+            U1_try = _apply_from_divs(
+                U, Ug0, _sum_divs(r1["divs"]), _sum_divs(r1["dvels"]),
+                dt, ng, opts,
+            )
+            redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
+            fl, fv, flh, fvh, mask_p = blend_stage1(redo1)
+            return finalize(apply_fluxes(fl, fv, mask_p, flh, fvh))
 
-    U1 = _lax.cond(fired1, _redo1_branch, lambda _: finalize(U1_try), None)
+        U1 = _lax.cond(fired1, _redo1_branch_k, lambda _: U1_fin, None)
+        if opts.rk_order == 1:
+            return U1, {"n_fofc": n1}
+    else:
+        if accum:
+            U1_try = _apply_from_divs(U, Ug0, r1["div"], r1["dvel"], dt, ng,
+                                      opts)
+        else:
+            U1_try = _apply_from_divs(
+                U, Ug0, _sum_divs(r1["divs"]), _sum_divs(r1["dvels"]), dt,
+                ng, opts
+            )
+        redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
+        n1 = jnp.sum(redo1)
+        fired1 = redo_any_fn(redo1)
 
-    if opts.rk_order == 1:
-        return U1, {"n_fofc": n1}
+        def _redo1_branch(_):
+            fl, fv, flh, fvh, mask_p = blend_stage1(redo1)
+            return finalize(apply_fluxes(fl, fv, mask_p, flh, fvh))
+
+        U1 = _lax.cond(fired1, _redo1_branch, lambda _: finalize(U1_try),
+                       None)
+
+        if opts.rk_order == 1:
+            return U1, {"n_fofc": n1}
 
     # ---- stage 2: divergence of the in-VMEM time-averaged flux
     # (with return_fluxes -- the AMR reflux path -- the same kernels also
@@ -720,6 +763,51 @@ def _advance_hydro_rk2_fused(
     r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, avg_with=r1,
                                    emit_avg_flux=return_fluxes,
                                    accumulate=accum)
+
+    if use_apply_kernel:
+        U2_fin, ok2 = apply_update_pallas(
+            U, Ug0, r2["divs"], r2["dvels"], dt, opts
+        )
+        fired2 = redo_any_fn(jnp.logical_not(ok2))
+
+        def _get_redo1():
+            U1_try = _apply_from_divs(
+                U, Ug0, _sum_divs(r1["divs"]), _sum_divs(r1["dvels"]),
+                dt, ng, opts,
+            )
+            return jnp.logical_not(euler.is_state_valid(U1_try, eos))
+
+        def _fallback2_k(_):
+            fl1f, fv1f, flh1f, fvh1f, _m1 = blend_stage1(_get_redo1())
+            fl2r, fv2r, flh2r, fvh2r = compute_fluxes(Ug1, opts,
+                                                      bc_kinds=bc_kinds)
+            flux_avg = {d: 0.5 * (fl1f[d] + fl2r[d]) for d in fl1f}
+            vel_avg = {d: 0.5 * (fv1f[d] + fv2r[d]) for d in fv1f}
+            flh_avg = {d: 0.5 * (flh1f[d] + flh2r[d]) for d in flh1f}
+            fvh_avg = {d: 0.5 * (fvh1f[d] + fvh2r[d]) for d in fvh1f}
+            U2a = apply_fluxes(flux_avg, vel_avg, None, flh_avg, fvh_avg)
+            redo2b = jnp.logical_not(euler.is_state_valid(U2a, eos))
+            n2b = jnp.sum(redo2b)
+
+            def _redo2_branch(_):
+                mask_p = mask_fill_fn(redo2b)
+                fo_fl, fo_fv, fo_flh, fo_fvh = fo_fluxes_fn()
+                fl, fv, flh, fvh = _blend_fofc(
+                    flux_avg, vel_avg, fo_fl, fo_fv, mask_p, opts,
+                    bc_kinds, (flh_avg, fvh_avg, fo_flh, fo_fvh),
+                )
+                return finalize(apply_fluxes(fl, fv, mask_p, flh, fvh))
+
+            U2b = _lax.cond(redo_any_fn(redo2b), _redo2_branch,
+                            lambda _: finalize(U2a), None)
+            return U2b, n2b
+
+        U2, n2 = _lax.cond(
+            jnp.logical_or(fired1, fired2), _fallback2_k,
+            lambda _: (U2_fin, jnp.sum(~ok2)), None,
+        )
+        return U2, {"n_fofc": n1 + n2}
+
     if accum:
         U2_try = _apply_from_divs(U, Ug0, r2["div"], r2["dvel"], dt, ng, opts)
     else:

@@ -334,6 +334,7 @@ def _sweep_body(prim_blk, chi_blk, dminv_blk, dminw_blk, axis, opts: HydroOption
 
     def face_state(q):
         rho = q[PRHO]
+        rinv = 1.0 / rho
         u = q[PVX1 + axis]
         v = q[PVX1 + vax]
         w = q[PVX1 + wax]
@@ -346,15 +347,16 @@ def _sweep_body(prim_blk, chi_blk, dminv_blk, dminw_blk, axis, opts: HydroOption
         elif opts.reconstruct_eint:
             P = eos.pressure(rho, q[PPRES] * rho)
             Eint = rho * q[PEINT]
-            cs = eos.sound_speed(rho, P)
+            cs = jnp.sqrt(eos.gamma * P * rinv)
             E = eos.eint_from_pres(rho, P) + ke
         else:
             P = q[PPRES]
             Eint = q[PEINT]
-            cs = eos.sound_speed(rho, P)
+            cs = jnp.sqrt(eos.gamma * P * rinv)
             E = eos.eint_from_pres(rho, P) + ke
         scalars = q[SCALAR0:] if q.shape[0] > SCALAR0 else None
-        return FaceState(rho=rho, u=u, v=v, w=w, P=P, cs=cs, E=E, Eint=Eint, scalars=scalars)
+        return FaceState(rho=rho, u=u, v=v, w=w, P=P, cs=cs, E=E, Eint=Eint,
+                         scalars=scalars, rinv=rinv)
 
     sL = face_state(qL)
     sR = face_state(qR)
@@ -413,7 +415,7 @@ def _sweep_body(prim_blk, chi_blk, dminv_blk, dminw_blk, axis, opts: HydroOption
             f_R = mrho * sR.scalars[n] / sum_R
             Fout = Fout.at[SCALAR0 + n].set(jnp.where(upwind_is_L, f_L, f_R))
 
-    facevel = jnp.where(Fout[RHO] >= 0.0, Fout[RHO] / sR.rho, Fout[RHO] / sL.rho)
+    facevel = Fout[RHO] * jnp.where(Fout[RHO] >= 0.0, sR.rinv, sL.rinv)
     return Fout, facevel
 
 
@@ -462,7 +464,7 @@ def _sweep_body_chunked(prim_blk, chi_blk, dminv_blk, dminw_blk, axis,
     from the same cell values by the same elementwise expressions --
     chunking only changes data movement, never arithmetic."""
     n = prim_blk.shape[1 + axis]
-    C = _chunk_size(n, mask_blk is not None)
+    C = _chunk_size(n, mask_blk is not None, axis)
     if not C:
         return _window_flux(prim_blk, chi_blk, dminv_blk, dminw_blk,
                             mask_blk, fo_blk, axis, opts, first_order)
@@ -496,13 +498,40 @@ def _sweep_body_chunked(prim_blk, chi_blk, dminv_blk, dminw_blk, axis,
             jnp.concatenate(vs, axis=vs[0].ndim - 3 + axis))
 
 
-def _chunk_size(n: int, has_mask: bool) -> int:
+_SWEEP_CHUNK_AX = tuple(
+    int(__import__("os").environ.get(f"QUOKKA_PALLAS_SWEEP_CHUNK_AX{a}",
+                                     "-1"))
+    for a in range(3)
+)
+
+
+def _chunk_size(n: int, has_mask: bool, axis: int | None = None) -> int:
     """Sweep-axis chunk for in-kernel pipelines; 0 = run whole-axis.
     Auto: 32 keeps (3 double-buffered whole-sweep windows + the chunk
     live set + register spill slots) inside the 128M VMEM budget at
     512-class extents (measured: C=64 spills 47M -> 139M total).
     FOFC-blend kernels (has_mask) run two flux pipelines, and they are
-    the RARE branch: a quarter chunk costs nothing."""
+    the RARE branch: a quarter chunk costs nothing.
+
+    Per-axis override QUOKKA_PALLAS_SWEEP_CHUNK_AX{0,1,2} (-1 = no
+    override): x-axis chunking is a measured WIN below the 272 gate
+    (the chunk windows slice a free outer dim: 8.5 -> 6.9 ms at 256^3 on
+    v5e) while z-axis chunking slices the lane dim and is ruinous; the
+    x-sweep therefore defaults to C=32 with the others whole-axis."""
+    if axis is not None and _SWEEP_CHUNK_AX[axis] >= 0:
+        C = _SWEEP_CHUNK_AX[axis]
+        if has_mask and C > 0:
+            C = max(16, C // 4)
+        return 0 if (C == 0 or C >= n) else C
+    if (axis == 0 and _SWEEP_CHUNK <= 0 and n > 128
+            and not _interpret_mode()):
+        # default: chunk the x sweep in fine slabs -- outer-dim slices
+        # are free and the small live set keeps the VPU out of VMEM
+        # spill territory (measured on v5e at 256^3: whole-axis 8.5 ms,
+        # C=32 6.9, C=8 ~6, C=4 best: step 265 -> 284.5 Mzones/s).
+        # TPU only: interpret-mode CI would pay n/C trace iterations.
+        C = 4 if not has_mask else 16
+        return 0 if C >= n else C
     C = _SWEEP_CHUNK if _SWEEP_CHUNK > 0 else 32
     if has_mask:
         C = max(16, C // 4)
@@ -547,7 +576,7 @@ def _div_only_chunked(prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk,
     the same divergence/accumulation expressions. Returns False when the
     axis is short enough for the whole-axis path."""
     n_ext = prim_blk.shape[1 + axis]
-    C = _chunk_size(n_ext, mask_blk is not None)
+    C = _chunk_size(n_ext, mask_blk is not None, axis)
     if not C:
         return False
     h = 4
@@ -1181,6 +1210,146 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
     if accumulate:
         out["div"], out["dvel"] = acc
     return out
+
+
+def apply_update_pallas(U, Ug0, divs: dict, dvels: dict, dt,
+                        opts: HydroOptions):
+    """Fused pointwise stage finish: RK apply from the per-axis divergence
+    contributions + PdV internal-energy source + EnforceLimits +
+    SyncDualEnergy + per-block PRE-floor validity flags, in ONE Pallas
+    pass (the XLA formulation runs apply / is_state_valid / finalize as
+    separate HBM passes -- ~1/4 of the 256^3 step time).
+
+    Ghost-free unpadded path only (U and Ug0 share the state shape).
+    Values are bit-identical to `_apply_from_divs` + `is_state_valid` +
+    `enforce_limits` + `sync_dual_energy` evaluated in sequence: same
+    elementwise expressions, same `sorted(divs)` accumulation order.
+
+    Returns (U_finalized, ok_flags[grid]) -- ok_flags[b] is True when
+    every cell of block b passed `is_state_valid` on the raw (pre-floor)
+    updated state; the caller cond-gates the classic FOFC fallback on
+    ``any(~ok_flags)`` exactly as it did on ``any(~valid_mask)``."""
+    from ..indices import EGAS as _EG, EINT as _EI
+
+    eos = opts.eos
+    nv, X, Y, Z = U.shape
+    if Z % 128:
+        raise ValueError("apply_update_pallas requires Z % 128 == 0")
+    dtype = U.dtype
+    axes = sorted(divs)
+    BTA = 8
+    grid = (X // BTA, Y // BTA)
+    vspec = lambda n4: pl.BlockSpec((n4, BTA, BTA, Z),
+                                    lambda i, j: (0, i, j, 0))
+    spec3 = pl.BlockSpec((BTA, BTA, Z), lambda i, j: (i, j, 0))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-block validity is written as an (8,128) tile of 0.0/1.0 (the
+    # minimal VMEM-legal block); the caller reduces with jnp.all
+    fspec = pl.BlockSpec((8, 128), lambda i, j: (i, j))
+
+    n_div = len(axes)
+
+    def kernel(*refs):
+        U_blk = refs[0][...]
+        Ug_blk = refs[1][...]
+        div_blk = [refs[2 + k][...] for k in range(n_div)]
+        dvel_blk = [refs[2 + n_div + k][...] for k in range(n_div)]
+        # explicit f32: under jax_enable_x64 the SMEM scalar load widens
+        # to f64 (same landmine as row_gather's i64 slice indices)
+        dt_val = jax.lax.convert_element_type(refs[2 + 2 * n_div][0], dtype)
+        out_ref = refs[3 + 2 * n_div]
+        ok_ref = refs[4 + 2 * n_div]
+
+        rhs = div_blk[0]
+        for k in range(1, n_div):
+            rhs = rhs + div_blk[k]
+        dv = dvel_blk[0]
+        for k in range(1, n_div):
+            dv = dv + dvel_blk[k]
+
+        # PdV source on the EINT slot (reference `add_internal_energy_pdv`
+        # common path); component surgery via concatenate -- Mosaic lowers
+        # sliced .at[].set as an unsupported scatter
+        P = euler.pressure(Ug_blk, eos)
+        parts = [rhs[:_EI], (rhs[_EI] - P * dv)[None]]
+        if _EI + 1 < nv:
+            parts.append(rhs[_EI + 1:])
+        rhs = jnp.concatenate(parts, axis=0)
+        U_try = U_blk + dt_val * rhs
+
+        # validity as an (8,128) min-tile: Mosaic supports neither bool
+        # reductions nor scalar reductions here, so `is_state_valid` is
+        # evaluated in f32 min-arithmetic (same predicate values)
+        rho_t = U_try[RHO]
+        okb = rho_t > 0.0
+        if not eos.is_isothermal:
+            ke_t = 0.5 * (U_try[MX1] ** 2 + U_try[MX1 + 1] ** 2
+                          + U_try[MX1 + 2] ** 2) / jnp.where(okb, rho_t, 1.0)
+            okb = okb & ((U_try[_EG] - ke_t) > 0.0)
+        finite = jnp.min(jnp.isfinite(U_try).astype(dtype), axis=0) > 0.5
+        okm = (okb & finite).astype(dtype)  # (8,8,Z)
+        okm = jnp.min(okm, axis=0)  # (8, Z)
+        acc = okm[:, :128]
+        for zk in range(1, Z // 128):
+            acc = jnp.minimum(acc, okm[:, 128 * zk:128 * (zk + 1)])
+        ok_ref[...] = acc
+
+        # EnforceLimits (floors) -- concatenate flavor
+        rho = U_try[RHO]
+        rho_new = jnp.maximum(rho, opts.density_floor)
+        comps = [U_try[c] for c in range(nv)]
+        comps[RHO] = rho_new
+        if opts.n_scalars > 0:
+            scale = jnp.where(rho_new > 0.0, rho / rho_new, 0.0)
+            scale = jnp.where(rho < opts.density_floor, scale, 1.0)
+            for c in range(SCALAR0, nv):
+                comps[c] = comps[c] * scale
+        if not eos.is_isothermal and opts.temperature_floor > 0.0:
+            ke = 0.5 * (comps[MX1] ** 2 + comps[MX1 + 1] ** 2
+                        + comps[MX1 + 2] ** 2) / rho_new
+            eint_floor = eos.eint_from_tgas(rho_new, opts.temperature_floor)
+            comps[_EG] = ke + jnp.maximum(comps[_EG] - ke, eint_floor)
+            comps[_EI] = jnp.maximum(comps[_EI], eint_floor)
+
+        if opts.use_dual_energy and not eos.is_isothermal:
+            ke = 0.5 * (comps[MX1] ** 2 + comps[MX1 + 1] ** 2
+                        + comps[MX1 + 2] ** 2) / comps[RHO]
+            Etot = comps[_EG]
+            Eint_cons = Etot - ke
+            use_cons = Eint_cons > 1.0e-3 * Etot
+            comps[_EI] = jnp.where(use_cons, Eint_cons, comps[_EI])
+            comps[_EG] = jnp.where(use_cons, Etot, comps[_EI] + ke)
+
+        out_ref[...] = jnp.stack(comps)
+
+    inputs = [U, Ug0] + [divs[d] for d in axes] + [dvels[d] for d in axes]
+    in_specs = [vspec(nv), vspec(nv)] + [vspec(nv)] * n_div \
+        + [spec3] * n_div + [smem]
+    inputs.append(jnp.asarray([dt], dtype))
+    # thread-local x64 override (same as pallas_substep.py): with
+    # jax_enable_x64 on, python-float constants trace as weak f64 and
+    # Mosaic cannot legalize them; the state here is f32
+    from jax._src.config import enable_x64 as _en64
+
+    with _en64(False):
+        U_fin, ok = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(vspec(nv), fspec),
+            out_shape=(jax.ShapeDtypeStruct((nv, X, Y, Z), dtype),
+                       jax.ShapeDtypeStruct((grid[0] * 8, grid[1] * 128),
+                                            dtype)),
+            interpret=_interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024,
+            ),
+        )(*inputs)
+    # fold each (8,128) block tile to one bool -> [gx, gy] flags
+    ok_blocks = jnp.min(
+        ok.reshape(grid[0], 8, grid[1], 128), axis=(1, 3)
+    ) > 0.5
+    return U_fin, ok_blocks
 
 
 def compute_fluxes_pallas(Ug: jnp.ndarray, opts: HydroOptions, first_order: bool = False,

@@ -39,6 +39,14 @@ class FaceState:
     # per-face effective gamma (composition-dependent mixture EOS only;
     # None selects the fixed-trait gamma paths unchanged)
     gamma: Optional[jnp.ndarray] = None
+    # cached reciprocal density: the TPU VPU's divide is a multi-op
+    # sequence, and the HLLC pipeline divides by rho in five places --
+    # callers that can afford one reciprocal per side set this and the
+    # solver multiplies instead (ulp-level difference only)
+    rinv: Optional[jnp.ndarray] = None
+
+    def rho_inv(self):
+        return self.rinv if self.rinv is not None else 1.0 / self.rho
 
     def conserved_list(self) -> list:
         comps = [self.rho, self.rho * self.u, self.rho * self.v, self.rho * self.w, self.E, self.Eint]
@@ -98,6 +106,8 @@ def hllc(
     """
     gamma = eos.gamma
     mix = sL.gamma is not None  # composition-dependent per-face gamma
+    rinv_L = sL.rho_inv()
+    rinv_R = sR.rho_inv()
 
     wl = jnp.sqrt(sL.rho)
     wr = jnp.sqrt(sR.rho)
@@ -106,43 +116,35 @@ def hllc(
     v_t = (wl * sL.v + wr * sR.v) * norm
     w_t = (wl * sL.w + wr * sR.w) * norm
     vsq_t = u_t * u_t + v_t * v_t + w_t * w_t
-    H_L = (sL.E + sL.P) / sL.rho
-    H_R = (sR.E + sR.P) / sR.rho
+    H_L = (sL.E + sL.P) * rinv_L
+    H_R = (sR.E + sR.P) * rinv_R
     H_t = (wl * H_L + wr * H_R) * norm
 
     dU = sL.u - sR.u  # positive in compression
 
-    if mix:
-        # gamma-law closed-form derivatives with the per-face mixture gamma
-        # (reference EOS::ComputeOtherDerivatives through the chem EOS)
-        def derivs(g, rho, P):
-            dedr = -P / ((g - 1.0) * rho * rho)
-            dedp = 1.0 / ((g - 1.0) * rho)
+    if mix or gamma != 1.0:
+        # gamma-law closed-form derivatives (reference
+        # `EOS::ComputeOtherDerivatives`, ``src/hydro/EOS.hpp:244-297``;
+        # per-face mixture gamma when the chem EOS is on), expressed via
+        # the cached reciprocal densities:
+        #   de/drho|_P = -P/((g-1) rho^2),  de/dP|_rho = 1/((g-1) rho),
+        #   drho/dP|_e = rho/P,             G = (g+1)/2
+        def derivs(g, rho, P, rinv):
+            inv_gm1 = 1.0 / (g - 1.0)
+            dedr = -P * inv_gm1 * (rinv * rinv)
+            dedp = inv_gm1 * rinv
             drdp = rho / P
             return dedr, dedp, drdp, 0.5 * (g + 1.0)
 
-        dedr_L, dedp_L, drdp_L, G_L = derivs(sL.gamma, sL.rho, sL.P)
-        dedr_R, dedp_R, drdp_R, G_R = derivs(sR.gamma, sR.rho, sR.P)
-
-        e_L = sL.Eint / sL.rho
-        e_R = sR.Eint / sR.rho
-        C_rho = 0.5 * (e_L + e_R + sL.rho * dedr_L + sR.rho * dedr_R)
-        C_P = 0.5 * (e_L * drdp_L + e_R * drdp_R + sL.rho * dedp_L + sR.rho * dedp_R)
-
-        cs_exp = H_t - 0.5 * vsq_t - C_rho
-        cs_avg = 0.5 * (sL.cs + sR.cs)
-        cs_t = jnp.where(cs_exp > 0.0, jnp.sqrt(jnp.abs(cs_exp) / C_P), cs_avg)
-
-        s_NL = 0.5 * G_L * jnp.maximum(dU, 0.0)
-        s_NR = 0.5 * G_R * jnp.maximum(dU, 0.0)
-    elif gamma != 1.0:
-        dedr_L, dedp_L, drdp_L, _, G_L = eos.other_derivatives(sL.rho, sL.P)
-        dedr_R, dedp_R, drdp_R, _, G_R = eos.other_derivatives(sR.rho, sR.P)
+        g_L = sL.gamma if mix else gamma
+        g_R = sR.gamma if mix else gamma
+        dedr_L, dedp_L, drdp_L, G_L = derivs(g_L, sL.rho, sL.P, rinv_L)
+        dedr_R, dedp_R, drdp_R, G_R = derivs(g_R, sR.rho, sR.P, rinv_R)
 
         # Kershaw+1998 eqs A.5a/A.5b, 4.12 (uses the *auxiliary* specific
         # internal energy carried by the interface states, as the reference does)
-        e_L = sL.Eint / sL.rho
-        e_R = sR.Eint / sR.rho
+        e_L = sL.Eint * rinv_L
+        e_R = sR.Eint * rinv_R
         C_rho = 0.5 * (e_L + e_R + sL.rho * dedr_L + sR.rho * dedr_R)
         C_P = 0.5 * (e_L * drdp_L + e_R * drdp_R + sL.rho * dedp_L + sR.rho * dedp_R)
 
@@ -175,9 +177,10 @@ def hllc(
     ) / denom
 
     # low-dissipation pressure correction phi [M&M 2021, eq. 23]
-    vmag_L = jnp.sqrt(sL.u**2 + sL.v**2 + sL.w**2)
-    vmag_R = jnp.sqrt(sR.u**2 + sR.v**2 + sR.w**2)
-    chi = jnp.minimum(1.0, jnp.maximum(vmag_L, vmag_R) / cs_max)
+    # (max of the magnitudes == sqrt of the max of the squares: one sqrt)
+    vsq_L = sL.u**2 + sL.v**2 + sL.w**2
+    vsq_R = sR.u**2 + sR.v**2 + sR.w**2
+    chi = jnp.minimum(1.0, jnp.sqrt(jnp.maximum(vsq_L, vsq_R)) / cs_max)
     phi = chi * (2.0 - chi)
 
     P_LR = 0.5 * (sL.P + sR.P) + 0.5 * phi * (

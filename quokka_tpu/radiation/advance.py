@@ -591,9 +591,16 @@ class LevelRadiation:
         return n
 
     def subcycle(self, U, time: float, dt_level: float, mask=None,
-                 Uc_old=None, Uc_new=None, theta_bounds=None):
+                 Uc_old=None, Uc_new=None, theta_bounds=None,
+                 flux_reduce=None):
         """Advance the level's radiation by dt_level; returns
-        (U, time-averaged transport flux dict [4G, padded])."""
+        (U, time-averaged transport flux dict [4G, padded]).
+
+        ``flux_reduce(eff, weight)``: optional streaming consumer for the
+        per-substep transport fluxes (the benchmark-scale root seeds its
+        flux-register correction incrementally so the accumulated
+        full-size flux dict never exists); the returned flux dict is then
+        None."""
         nsub = self.n_substeps(dt_level)
         dt_r = dt_level / nsub
         flux_sum = None
@@ -609,6 +616,9 @@ class LevelRadiation:
                     U, t_i, dt_r, mask, Uc_old, Uc_new,
                     jnp.asarray(th_a, U.dtype), jnp.asarray(th_b, U.dtype),
                 )
+            if flux_reduce is not None:
+                flux_reduce(eff, 1.0 / nsub)
+                continue
             if flux_sum is None:
                 flux_sum = {d: F / nsub for d, F in eff.items()}
             else:
