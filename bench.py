@@ -50,12 +50,14 @@ def run_radhydro(n, steps, prec="single"):
     from quokka_tpu.benchmarks import bench_radhydro
     from quokka_tpu.problems.radhydro_bench import RadhydroBenchProblem
 
+    mixed = os.environ.get("QUOKKA_BENCH_RAD_MIXED", "0")
     pp = ParmParse.from_string(
         f"""
         geometry.prob_hi = 1.0 1.0 1.0
         amr.n_cell = {n} {n} {n}
         cfl = 0.3
         radiation.cfl = 0.3
+        radiation.mixed_precision_coupling = {mixed}
         verbose = 0
         """
     )
@@ -334,6 +336,9 @@ def _leg_main(leg: str):
     elif leg == "f64":
         v = run_hydro(F64_N, max(3, STEPS // 2), "double")
         print(json.dumps({"hydro_f64_mzones": round(v, 3)}))
+    elif leg == "hydro512":
+        v = run_hydro(512, max(4, STEPS // 2), "single")
+        print(json.dumps({"hydro_512_mzones": round(v, 3)}))
     elif leg == "mhd":
         v = run_mhd(int(os.environ.get("QUOKKA_BENCH_MHD_N", "256")), STEPS)
         print(json.dumps({"mhd_ct_mzones": round(v, 3)}))
@@ -450,6 +455,13 @@ def main():
             result["f64_size"] = F64_N
         else:
             result["hydro_f64_error"] = r.get("error", "?")
+
+    if os.environ.get("QUOKKA_BENCH_512", "1") == "1":
+        r = leg("hydro512", 1800)
+        if "hydro_512_mzones" in r:
+            result.update(r)
+        else:
+            result["hydro_512_error"] = r.get("error", "?")
 
     if os.environ.get("QUOKKA_BENCH_MHD", "1") == "1":
         r = leg("mhd", 1500)

@@ -93,6 +93,14 @@ class AMRSimulation(Simulation):
         # amr/packed.py): split hydro/rad row pools, Pallas DMA gathers,
         # fused single-pass RK2, delayed in-place writes
         self.pool_packed = bool(self.pp.get_int("amr.pool_packed", 0))
+        # serialize heavyweight phase dispatch (default ON for packed
+        # benchmark-scale runs): without host syncs the driver enqueues
+        # dozens of multi-GB-arena programs and the runtime reserves their
+        # arenas concurrently -- transient over-reservation surfaces as
+        # nondeterministic RESOURCE_EXHAUSTED at ~60% nominal occupancy
+        self.sync_dispatch = bool(
+            self.pp.get_int("amr.sync_dispatch", int(self.pool_packed))
+        )
         self.packed_chunk = self.pp.get_int(
             "amr.packed_chunk", max(self.pool_chunk, 32)
         )
@@ -310,6 +318,105 @@ class AMRSimulation(Simulation):
         self._level_step_jits[l] = jitted
         return jitted
 
+    # ------------------------------------------- seeded root step (packed)
+    def _get_root_seeded_step(self):
+        """Root-level hydro step in the LEAN kernel formulation with
+        IN-KERNEL flux-register seeding: the sweep kernels emit the
+        boundary-masked flux divergence (the coarse-side register
+        correction, pre-dt) next to the ordinary divergence totals, so at
+        benchmark scale the root never materializes a face array -- the
+        classic return_fluxes program's ~5 GB arena next to ~6 GB of pool
+        state is what overran the chip. Requires an all-periodic f32 root
+        whose fine coverage does not touch the domain boundary (the
+        roll-frame boundary masks match the padded-zero convention only
+        away from the edges; `_root_seed_masks` checks). The blended
+        (FOFC) fluxes feed both the update and the register, so reflux
+        stays exactly consistent with the update in every branch."""
+        key = "seeded0"
+        if key in self._level_step_jits:
+            return self._level_step_jits[key]
+        opts = self.level_opts[0]
+        nh = self.layout.nvar_hydro
+        strang = self._strang if self._strang_active else None
+        bc_free = {0: None, 1: None, 2: None}
+
+        def step(U, dt, bm0, bm1, bm2):
+            ok = jnp.asarray(True)
+            if strang is not None:
+                U, ok1 = strang(U, 0.5 * dt)
+                ok = jnp.logical_and(ok, ok1)
+            Uh_new, stats = hydro_advance.advance_hydro_rk2(
+                U[:nh], dt, opts, lambda x: x, (0, 0, 0),
+                (True, True, True), bc_kinds=bc_free,
+                reflux_corr_masks={0: bm0, 1: bm1, 2: bm2},
+            )
+            U_new = (jnp.concatenate([Uh_new, U[nh:]], axis=0)
+                     if nh < U.shape[0] else Uh_new)
+            if strang is not None:
+                U_new, ok2 = strang(U_new, 0.5 * dt)
+                ok = jnp.logical_and(ok, ok2)
+            corr = stats.pop("reflux_corr")
+            smax = jnp.max(euler.max_signal_speed(U_new, opts.eos))
+            return U_new, corr, {"max_signal": smax, "valid": ok, **stats}
+
+        jitted = jax.jit(step)
+        self._level_step_jits[key] = jitted
+        return jitted
+
+    def _root_seeded_eligible(self) -> bool:
+        from ..registry import BC_PERIODIC
+
+        if getattr(self, "_root_seed_ok", None) is None:
+            p = self.problem
+            self._root_seed_ok = (
+                self.pool_packed
+                and self.do_reflux
+                and self.dtype == jnp.float32
+                and self.decomp is None
+                and all(bc == BC_PERIODIC for d in range(3)
+                        for bc in p.bcs.axis(d))
+                and self.level_opts[0].use_pallas
+            )
+        return self._root_seed_ok
+
+    def _root_seed_masks(self):
+        """Per-axis coarse-fine boundary face masks of level 1's coverage
+        on the root grid (roll frame), rebuilt per regrid epoch; None when
+        fine coverage touches the domain boundary (fall back to the
+        classic padded step there)."""
+        import numpy as np
+
+        st = self.level_pool[1] if self._is_pool(1) else None
+        epoch = (st.meta.epoch if st is not None else
+                 int(self.level_steps[0]))
+        cached = getattr(self, "_root_bmasks", None)
+        if cached is not None and cached[0] == epoch:
+            return cached[1]
+        mask_fine = (st.coverage_dense() if st is not None
+                     else self.level_mask[1])
+        key = "root_bmasks"
+        if key not in self._pool_jits:
+            active = self.grid.active_axes
+
+            def build(mf):
+                cmask = ops.restrict_mask_any(mf, active)
+                bms = tuple(
+                    (cmask != sh(cmask, -1, d)).astype(self.dtype)
+                    for d in range(3)
+                )
+                edges = []
+                for d in range(3):
+                    n_d = cmask.shape[d]
+                    idx = jnp.asarray([0, n_d - 1])
+                    edges.append(jnp.any(jnp.take(cmask, idx, axis=d)))
+                return bms, jnp.any(jnp.stack(edges))
+
+            self._pool_jits[key] = jax.jit(build)
+        bms, edge = self._pool_jits[key](mask_fine)
+        masks = None if bool(edge) else bms
+        self._root_bmasks = (epoch, masks)
+        return masks
+
     def _get_level_rad(self, l: int):
         if l not in self._level_rad:
             from ..radiation.advance import LevelRadiation
@@ -323,6 +430,11 @@ class AMRSimulation(Simulation):
 
             self._pool_rad[l] = PoolLevelRadiation(self, l, self.level_grids[l])
         return self._pool_rad[l]
+
+    def _barrier(self, *xs):
+        """Host sync between heavyweight phases (see `sync_dispatch`)."""
+        if self.sync_dispatch:
+            jax.block_until_ready([x for x in xs if x is not None])
 
     # ---------------------------------------------------------------- reflux
     #
@@ -375,6 +487,7 @@ class AMRSimulation(Simulation):
         for d in sorted(F):
             Fd = F.pop(d)  # free each face field as soon as it is seeded
             corr = fn(Fd, mask_fine, dt_a, corr, d)
+            self._barrier(corr)
         return corr
 
     def _reflux_apply(self, l: int, corr_crse, corr_fine, mask_fine):
@@ -999,9 +1112,23 @@ class AMRSimulation(Simulation):
         from ..utils.profiler import prof
 
         U_old = self.level_U[l]
-        step = self._get_level_step(l)
+        # in-kernel-seeded lean root (benchmark-scale packed mode): the
+        # step emits the register correction directly; no face arrays
+        seeded_corr = None
+        use_seeded = (
+            l == 0 and l < self.finest_level and self._root_seeded_eligible()
+        )
+        if use_seeded:
+            bms = self._root_seed_masks()
+            use_seeded = bms is not None
+        step = (self._get_root_seeded_step() if use_seeded
+                else self._get_level_step(l))
         with prof.region(f"hydro_L{l}"):
-            if l == 0:
+            if l == 0 and use_seeded:
+                U_new, corr_raw, _stats = step(U_old, dt_l, *bms)
+                fluxes = None
+                seeded_corr = dt_l * corr_raw
+            elif l == 0:
                 U_new, fluxes, _stats = step(U_old, dt_l)
             else:
                 theta1 = (t_level - self._parent_t) / self._parent_dt
@@ -1012,6 +1139,7 @@ class AMRSimulation(Simulation):
                     dt_l,
                 )
             prof.sync(U_new)
+        self._barrier(U_new)
         if "valid" in _stats and hasattr(self, "_substep_valid_flags"):
             self._substep_valid_flags.append(_stats["valid"])
 
@@ -1031,7 +1159,10 @@ class AMRSimulation(Simulation):
                 if self._is_pool(l + 1) else self.level_mask[l + 1]
             )
         if want_seed and l == 0:
-            seed_corr = self._reflux_corr(l, fluxes, seed_mask, dt_l)
+            if seeded_corr is not None:
+                seed_corr = seeded_corr  # emitted by the lean step kernels
+            else:
+                seed_corr = self._reflux_corr(l, fluxes, seed_mask, dt_l)
             fluxes = None
 
         # radiation subcycle at this level (reference order: hydro then
@@ -1150,11 +1281,37 @@ class AMRSimulation(Simulation):
                 if self.pool_packed:
                     from . import packed as pk
 
-                    pad = self._get_dense_pad(l, width=pk.donor_pad_width(
-                        self._g))
+                    from ..registry import BC_USER
+
+                    w = pk.donor_pad_width(self._g)
+                    nh_ = self.layout.nvar_hydro
+                    nr_ = self.layout.nvar - nh_
+                    has_user = any(
+                        BC_USER in self.problem.bcs.axis(d) for d in range(3)
+                    )
+                    if has_user:
+                        # user BC hooks read the full state: pad whole,
+                        # split after (costs transient full-pad copies)
+                        pad = self._get_dense_pad(l, width=w)
+                        po, pn = pad(U_old), pad(U_new)
+                        ctx4 = (po[:nh_], pn[:nh_],
+                                po[nh_:] if nr_ else None,
+                                pn[nh_:] if nr_ else None)
+                    else:
+                        # pad the hydro and radiation parts SEPARATELY:
+                        # the packed engine consumes them split, and at
+                        # benchmark scale the full-layout pads plus their
+                        # eager component slices were ~3 GB of duplicates
+                        ph = self._get_dense_pad_part(l, "h", width=w)
+                        pr = (self._get_dense_pad_part(l, "r", width=w)
+                              if nr_ else None)
+                        ctx4 = (ph(U_old), ph(U_new),
+                                pr(U_old) if pr else None,
+                                pr(U_new) if pr else None)
+                    self._parent_ctx = ("dense", ctx4)
                 else:
                     pad = self._get_dense_pad(l)
-                self._parent_ctx = ("dense", (pad(U_old), pad(U_new)))
+                    self._parent_ctx = ("dense", (pad(U_old), pad(U_new)))
 
             # subcycled: 2 fine substeps per parent step; global stepping:
             # one fine step with the same dt (reference do_subcycle=0)
@@ -1248,6 +1405,53 @@ class AMRSimulation(Simulation):
                 return fill_ghosts(
                     U, ng, self.problem.bcs, self.layout,
                     problem=self.problem, grid=grid,
+                )
+
+            self._pool_jits[key] = jax.jit(pad)
+        return self._pool_jits[key]
+
+    def _get_dense_pad_part(self, l: int, part: str,
+                            width: int | None = None):
+        """Jitted ghost fill of ONE component part ("h" = hydro, "r" =
+        radiation) of a dense level: the packed engine consumes the parent
+        pads split, and padding the parts directly avoids the full-layout
+        pads + eager component-slice duplicates (~3 GB at the benchmark
+        root). Valid when no BC_USER hook needs the full state; the slice
+        happens inside the jit so no standalone copy is materialized."""
+        key = ("dense_pad_part", l, part, width)
+        if key not in self._pool_jits:
+            grid = self.level_grids[l]
+            ng = tuple(width for _ in self.ng) if width else self.ng
+            nh = self.layout.nvar_hydro
+            G = self.layout.n_groups
+
+            if part == "h":
+                class _HSlice:
+                    nvar = nh
+                    hydro_enabled = True
+                    radiation_enabled = False
+                    n_groups = 0
+
+                lay = _HSlice()
+                c0, c1 = 0, nh
+            else:
+                class _RSlice:
+                    nvar = 4 * G
+                    hydro_enabled = False
+                    radiation_enabled = True
+                    n_groups = G
+
+                    @staticmethod
+                    def rad_index(g, comp):
+                        return 4 * g + comp
+
+                lay = _RSlice()
+                c0, c1 = nh, self.layout.nvar
+
+            def pad(U):
+                return fill_ghosts(
+                    U[c0:c1], ng, self.problem.bcs, lay,
+                    problem=None, grid=grid,
                 )
 
             self._pool_jits[key] = jax.jit(pad)

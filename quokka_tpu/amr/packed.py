@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+import os
 
 from ..hydro import euler
 from ..hydro.advance import (
@@ -63,6 +64,17 @@ from ..hydro.advance import (
 from . import tilepool as tp
 
 LANE = 128
+
+# throttle the host-streamed chunk loops: without a periodic host sync
+# the runtime reserves many queued chunk programs' arenas concurrently,
+# which shows up as nondeterministic RESOURCE_EXHAUSTED at benchmark
+# scale; syncing every N chunks bounds in-flight arenas. 0 disables.
+_SYNC_CHUNKS = int(os.environ.get("QUOKKA_PACKED_SYNC_CHUNKS", "4"))
+
+
+def _throttle(ci, x):
+    if _SYNC_CHUNKS and (ci + 1) % _SYNC_CHUNKS == 0:
+        jax.block_until_ready(x)
 
 
 # ------------------------------------------------------------------ packing
@@ -664,6 +676,7 @@ def fused_hydro_advance_packed(
         n_fofc = n_fofc + nf
         smax_all = jnp.maximum(smax_all, jnp.max(jnp.where(act, smax, 0.0)))
         ok_all = jnp.logical_and(ok_all, jnp.all(jnp.where(act, fin, True)))
+        _throttle(ci, n_fofc)
     Uph_new = ww.flush() if in_place else out_buf
     stats = {"max_signal": smax_all, "valid": ok_all, "n_fofc": n_fofc}
     return Uph_new, own_bufs, Ffine, stats
@@ -970,6 +983,7 @@ def fused_rad_subcycle_packed(
             ok_all = jnp.logical_and(
                 ok_all, jnp.all(jnp.where(act, fin, True))
             )
+            _throttle(ci, ok_all)
         Uph = wh.flush()
         Upr = r_out if fresh_r else wr.flush()
     if own_out:

@@ -506,23 +506,28 @@ def timestep_pool_packed(sim, l: int, t_level: float, dt_l: float):
 
     ctx_kind, ctx = sim._parent_ctx
     if ctx_kind == "dense":
-        # dense parent: ghost pads at gp2 (built by the handoff)
-        pad2_old, pad2_new = ctx
+        # dense parent: SPLIT ghost pads at gp2 (built by the handoff --
+        # hydro and radiation parts are padded separately so no full-
+        # layout pad or eager component slice ever exists)
+        ph_o, ph_n, pr_o, pr_n = ctx
         bmode = "dense"
         bd_h = pk.make_dense_backdrop_fn(ts, g, active)
         bd_r = bd_h
-        pargs_h = (pad2_old[:nh], pad2_new[:nh])
-        pargs_r = (pad2_old[nh:], pad2_new[nh:]) if nr else None
+        pargs_h = (ph_o, ph_n)
+        pargs_r = (pr_o, pr_n) if nr else None
     elif ctx_kind == "ppool":
-        (Uh_o, Uh_n, Ur_o, Ur_n, gpo2, gpn2, nbr_p, org_p, tha, thb) = ctx
+        (Uh_o, Uh_n, Ur_o, Ur_n, gp4, nbr_p, org_p, tha, thb) = ctx
         bmode = "pool"
-        gpa = (1.0 - tha) * gpo2 + tha * gpn2
-        gpb = (1.0 - thb) * gpo2 + thb * gpn2
+        ph_o, ph_n, pr_o, pr_n = gp4
+        gpa_h = (1.0 - tha) * ph_o + tha * ph_n
+        gpb_h = (1.0 - thb) * ph_o + thb * ph_n
         bd_h = pk.make_pool_backdrop_fn(ts, g, active, nh)
-        pargs_h = (Uh_o, Uh_n, gpa[:nh], gpb[:nh], nbr_p, org_p)
+        pargs_h = (Uh_o, Uh_n, gpa_h, gpb_h, nbr_p, org_p)
         if nr:
+            gpa_r = (1.0 - tha) * pr_o + tha * pr_n
+            gpb_r = (1.0 - thb) * pr_o + thb * pr_n
             bd_r = pk.make_pool_backdrop_fn(ts, g, active, nr)
-            pargs_r = (Ur_o, Ur_n, gpa[nh:], gpb[nh:], nbr_p, org_p)
+            pargs_r = (Ur_o, Ur_n, gpa_r, gpb_r, nbr_p, org_p)
     else:
         raise NotImplementedError(f"packed parent ctx {ctx_kind}")
 
@@ -591,16 +596,15 @@ def timestep_pool_packed(sim, l: int, t_level: float, dt_l: float):
         th1a = jnp.asarray(theta1, dtype)
         th2a = jnp.asarray(theta2, dtype)
         if ctx_kind == "dense":
-            gpo2, gpn2 = ctx
+            gp4 = ctx
         else:
-            gpo2, gpn2 = None, None
             raise NotImplementedError(
                 "packed hierarchies deeper than 2 pool levels (the child "
                 "backdrop needs a dense grandparent)"
             )
         saved = (sim._parent_ctx, sim._parent_t, sim._parent_dt)
         sim._parent_ctx = ("ppool", (
-            Uh_old, st.Uh, Ur_old, st.Ur, gpo2, gpn2, nbr, org, th1a, th2a,
+            Uh_old, st.Uh, Ur_old, st.Ur, gp4, nbr, org, th1a, th2a,
         ))
         sim._parent_t = t_level
         sim._parent_dt = dt_l

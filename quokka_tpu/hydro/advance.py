@@ -933,6 +933,7 @@ def _advance_hydro_rk2_lean(
     fill_fn2=None,
     redo_any_fn=None,
     bc_kinds: dict | None = None,
+    corr_masks: dict | None = None,
 ):
     """RK2-SSP hydro step in the LEAN divergence formulation for large
     domains (512^3-class single-chip).
@@ -983,7 +984,7 @@ def _advance_hydro_rk2_lean(
     # ---- stage 1
     Ug0 = fill_fn(U)
     r1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=True,
-                                   div_only=True)
+                                   div_only=True, corr_masks=corr_masks)
     U1_try = _apply_from_divs(U, Ug0, r1["div"], r1["dvel"], dt, ng, opts)
     redo1 = jnp.logical_not(euler.is_state_valid(U1_try, eos))
     n1 = jnp.sum(redo1)
@@ -992,27 +993,36 @@ def _advance_hydro_rk2_lean(
     # masks are derived inside each branch: full-size f32 fields with
     # step-long lifetimes fragment HBM at 512^3)
     m1b = jnp.logical_and(fired1, mask_fill_fn(redo1))
+    zcorr = (jnp.zeros_like(r1["corr"]) if corr_masks is not None
+             else jnp.zeros((), dtype))
 
     def _redo1_branch(_):
         m1p = m1b.astype(dtype)
         rb = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=True,
-                                       div_only=True, fo_mask=m1p)
+                                       div_only=True, fo_mask=m1p,
+                                       corr_masks=corr_masks)
         U1b = _apply_from_divs(U, Ug0, rb["div"], rb["dvel"], dt, ng, opts,
                                redo_mask=m1b, bc_kinds=bc_kinds)
-        return finalize(U1b), rb["div"], rb["dvel"]
+        return (finalize(U1b), rb["div"], rb["dvel"],
+                rb.get("corr", zcorr))
 
-    U1, div1, dvel1 = _lax.cond(
+    U1, div1, dvel1, corr1 = _lax.cond(
         fired1, _redo1_branch,
-        lambda _: (finalize(U1_try), r1["div"], r1["dvel"]), None,
+        lambda _: (finalize(U1_try), r1["div"], r1["dvel"],
+                   r1.get("corr", zcorr)), None,
     )
 
     if opts.rk_order == 1:
-        return U1, {"n_fofc": n1}
+        stats1 = {"n_fofc": n1}
+        if corr_masks is not None:
+            stats1["reflux_corr"] = corr1
+        return U1, stats1
 
     # ---- stage 2: averaged divergences, accumulated onto stage 1's
     Ug1 = fill_fn2(U1)
     r2 = compute_fluxes_pallas_div(Ug1, opts, bc_kinds, accumulate=True,
-                                   div_only=True, acc_init=(div1, dvel1))
+                                   div_only=True, acc_init=(div1, dvel1),
+                                   corr_masks=corr_masks, corr_init=corr1)
     U2_try = _apply_from_divs(U, Ug0, r2["div"], r2["dvel"], 0.5 * dt, ng,
                               opts)
     redo2 = jnp.logical_not(euler.is_state_valid(U2_try, eos))
@@ -1026,7 +1036,8 @@ def _advance_hydro_rk2_lean(
         # blend(F2(U1), fo(U0), m2). 0.5*(G1+G2) equals the classic
         # blended average exactly (flagged faces average fo with itself).
         g1 = compute_fluxes_pallas_div(Ug0, opts, bc_kinds, accumulate=True,
-                                       div_only=True, fo_mask=mboth)
+                                       div_only=True, fo_mask=mboth,
+                                       corr_masks=corr_masks)
         if max(U.shape[1:]) > 272:
             # large domains: a 3-state kernel (hi(U1) + fo(U0) + acc
             # windows, all double-buffered whole-sweep) exceeds VMEM, so
@@ -1041,20 +1052,29 @@ def _advance_hydro_rk2_lean(
             g2 = compute_fluxes_pallas_div(
                 Ug1, opts, bc_kinds, accumulate=True, div_only=True,
                 fo_mask=m2p, acc_init=(g1["div"], g1["dvel"]),
+                corr_masks=corr_masks, corr_init=g1.get("corr"),
             )
         else:
             g2 = compute_fluxes_pallas_div(
                 Ug1, opts, bc_kinds, accumulate=True, div_only=True,
                 fo_mask=m2p, fo_from=Ug0,
                 acc_init=(g1["div"], g1["dvel"]),
+                corr_masks=corr_masks, corr_init=g1.get("corr"),
             )
         U2b = _apply_from_divs(U, Ug0, g2["div"], g2["dvel"], 0.5 * dt, ng,
                                opts, redo_mask=m2b, bc_kinds=bc_kinds)
-        return finalize(U2b)
+        return finalize(U2b), g2.get("corr", zcorr)
 
-    U2 = _lax.cond(redo_any_fn(redo2), _redo2_branch,
-                   lambda _: finalize(U2_try), None)
-    return U2, {"n_fofc": n1 + n2}
+    U2, corr2t = _lax.cond(
+        redo_any_fn(redo2), _redo2_branch,
+        lambda _: (finalize(U2_try), r2.get("corr", zcorr)), None,
+    )
+    stats = {"n_fofc": n1 + n2}
+    if corr_masks is not None:
+        # corr2t = corr1 + corr2 (acc-chained); the register wants the
+        # TIME-AVERAGED flux seed 0.5*(corr1 + corr2)
+        stats["reflux_corr"] = 0.5 * corr2t
+    return U2, stats
 
 
 def advance_hydro_rk2(
@@ -1069,6 +1089,7 @@ def advance_hydro_rk2(
     return_fluxes: bool = False,
     redo_any_fn: Callable | None = None,
     bc_kinds: dict | None = None,
+    reflux_corr_masks: dict | None = None,
 ):
     """Full RK2-SSP hydro step (reference `advanceHydroAtLevel`,
     ``src/QuokkaSimulation.hpp:1033-1325``).
@@ -1128,12 +1149,21 @@ def advance_hydro_rk2(
         and U.dtype == jnp.float32
         and not return_fluxes
         and opts.rk_order == 2
-        and (_lean_pref == "1"
+        and (reflux_corr_masks is not None
+             or _lean_pref == "1"
              or (_lean_pref == "auto" and not pallas_ok and ext <= _lean_max))
     ):
+        # reflux_corr_masks: the in-kernel flux-register seeding mode (the
+        # AMR root at benchmark scale) -- requires the lean path (the only
+        # formulation whose kernels see the final blended fluxes)
         return _advance_hydro_rk2_lean(
             U, dt, opts, fill_fn, ng, periodic, mask_fill_fn, fill_fn2,
-            redo_any_fn, bc_kinds,
+            redo_any_fn, bc_kinds, corr_masks=reflux_corr_masks,
+        )
+    if reflux_corr_masks is not None:
+        raise NotImplementedError(
+            "reflux_corr_masks requires the Pallas lean path (f32, 3D, "
+            "use_pallas, fuse_update, rk_order 2)"
         )
     if (
         opts.use_pallas

@@ -563,7 +563,8 @@ def _window_flux(pb, cb, dvb, dwb, mb, fb, axis, opts: HydroOptions,
 def _div_only_chunked(prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk,
                       axis, opts: HydroOptions, first_order: bool,
                       wall: bool, n_sweep: int, dx_axis,
-                      div_ref, dvel_ref, acc_div_ref, acc_dvel_ref) -> bool:
+                      div_ref, dvel_ref, acc_div_ref, acc_dvel_ref,
+                      bnd_blk=None, corr_ref=None, acc_corr_ref=None) -> bool:
     """Chunked divergence emission for div_only kernels on long sweep
     axes: each chunk's faces come from a stencil-haloed window and the
     chunk cells' divergence is written STRAIGHT into the output ref slice.
@@ -577,6 +578,11 @@ def _div_only_chunked(prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk,
     axis is short enough for the whole-axis path."""
     n_ext = prim_blk.shape[1 + axis]
     C = _chunk_size(n_ext, mask_blk is not None, axis)
+    if not C and bnd_blk is not None and axis != 2 and n_sweep > 128:
+        # register-seeding kernels carry an extra output window + the
+        # boundary mask: the whole-axis y-sweep overflows VMEM by ~26M at
+        # 256^3 (z stays whole -- its blocks are tiny)
+        C = 32
     if not C:
         return False
     h = 4
@@ -614,6 +620,17 @@ def _div_only_chunked(prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk,
             dvel_c = acc_dvel_ref[tuple(i3)] + dvel_c
         div_ref[tuple(i4)] = div_c
         dvel_ref[tuple(i3)] = dvel_c
+        if corr_ref is not None:
+            # flux-register seed: divergence of the BOUNDARY-masked flux
+            # (bnd face slot j flags a coarse-fine boundary face); the
+            # same blended flux feeds both div and corr, so the register
+            # stays exactly consistent with the update
+            bm = _wrap_slice(bnd_blk, axis, s, e + 1)  # faces s..e
+            dFm = jnp.where(bm[None] > 0.5, Fd, 0.0)
+            corr_c = (seg(dFm, 0, L) - seg(dFm, 1, L + 1)) / dx_axis
+            if acc_corr_ref is not None:
+                corr_c = acc_corr_ref[tuple(i4)] + corr_c
+            corr_ref[tuple(i4)] = corr_c
     return True
 
 
@@ -678,6 +695,8 @@ def compute_axis_flux_pallas(
     div_only: bool = False,
     fo_mask: jnp.ndarray | None = None,
     fo_from: jnp.ndarray | None = None,
+    corr_mask: jnp.ndarray | None = None,
+    corr_acc: jnp.ndarray | None = None,
 ):
     """Single fused kernel: flux + face velocity for one sweep axis.
 
@@ -789,6 +808,10 @@ def compute_axis_flux_pallas(
                          "supported with emit_avg_flux")
     if div_only and (not with_div or has_avg or emit_avg_flux):
         raise ValueError("div_only requires dx_axis and excludes avg_with")
+    has_corr = corr_mask is not None
+    if has_corr and (not div_only or wall):
+        raise ValueError("corr_mask (flux-register seeding) requires the "
+                         "div_only ghost-free periodic path")
 
     # 8-wide window blocks along the sweep axis (width-1 blocks on a tiled
     # dim crash the Mosaic lowering), used for the chi ghost-plane inputs
@@ -847,6 +870,17 @@ def compute_axis_flux_pallas(
         inputs.append(acc[1])
         in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
 
+    # flux-register seed: per-axis boundary-face mask (+ aliased corr acc)
+    corr_acc_in_idx = None
+    if has_corr:
+        inputs.append(corr_mask)
+        in_specs.append(pl.BlockSpec(shape3, imap3, memory_space=pltpu.VMEM))
+        if corr_acc is not None:
+            corr_acc_in_idx = len(inputs)
+            inputs.append(corr_acc)
+            in_specs.append(pl.BlockSpec(shape4, imap4,
+                                         memory_space=pltpu.VMEM))
+
     def kernel(*refs):
         idx = 0
         prim_ref = refs[idx]; idx += 1
@@ -878,7 +912,15 @@ def compute_axis_flux_pallas(
         if acc is not None:
             acc_div_ref, acc_dvel_ref = refs[idx], refs[idx + 1]
             idx += 2
+        bnd_ref = acc_corr_ref = None
+        if has_corr:
+            bnd_ref = refs[idx]
+            idx += 1
+            if corr_acc is not None:
+                acc_corr_ref = refs[idx]
+                idx += 1
         flux_ref = vel_ref = flux_hi_ref = vel_hi_ref = favg_ref = None
+        corr_ref = None
         if has_avg or div_only:
             # avg (RK2 stage-2) and div_only (lean) kernels emit ONLY the
             # divergences: the VMEM budget and HBM write traffic of the
@@ -889,6 +931,8 @@ def compute_axis_flux_pallas(
             div_ref, dvel_ref = refs[idx], refs[idx + 1]
             if emit_avg_flux:
                 favg_ref = refs[idx + 2]
+            if has_corr:
+                corr_ref = refs[idx + 2]
         else:
             flux_ref, vel_ref = refs[idx], refs[idx + 1]
             k = idx + 2
@@ -951,10 +995,13 @@ def compute_axis_flux_pallas(
                     fo_blk, opts.eos, opts.reconstruct_eint
                 )
 
+        bnd_blk = bnd_ref[...] if bnd_ref is not None else None
         if div_only and _div_only_chunked(
                 prim_blk, chi_blk, dv_blk, dw_blk, mask_blk, fo_blk, axis,
                 opts, first_order, wall, n_sweep, dx_axis,
-                div_ref, dvel_ref, acc_div_ref, acc_dvel_ref):
+                div_ref, dvel_ref, acc_div_ref, acc_dvel_ref,
+                bnd_blk=bnd_blk, corr_ref=corr_ref,
+                acc_corr_ref=acc_corr_ref):
             return
 
         F, v = _sweep_body_chunked(prim_blk, chi_blk, dv_blk, dw_blk, axis,
@@ -1035,6 +1082,12 @@ def compute_axis_flux_pallas(
                 dvel_ref[...] = dvel_c
                 if favg_ref is not None:
                     favg_ref[...] = Fd
+                if corr_ref is not None:
+                    dFm = jnp.where(bnd_blk[None] > 0.5, Fd, 0.0)
+                    corr_c = (dFm - sh(dFm, 1, 1 + axis)) / dx_axis
+                    if acc_corr_ref is not None:
+                        corr_c = acc_corr_ref[...] + corr_c
+                    corr_ref[...] = corr_c
 
     if has_avg or div_only:
         out_specs = [
@@ -1046,6 +1099,10 @@ def compute_axis_flux_pallas(
             jax.ShapeDtypeStruct((X, Y, Z), dtype),
         ]
         if emit_avg_flux:
+            out_specs.append(pl.BlockSpec(shape4, imap4,
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((nv, X, Y, Z), dtype))
+        if has_corr:
             out_specs.append(pl.BlockSpec(shape4, imap4,
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((nv, X, Y, Z), dtype))
@@ -1086,6 +1143,8 @@ def compute_axis_flux_pallas(
         div_out_idx = (0 if (has_avg or div_only)
                        else 2 + (2 if wall else 0))
         aliases = {acc_in_idx: div_out_idx, acc_in_idx + 1: div_out_idx + 1}
+    if corr_acc_in_idx is not None:
+        aliases[corr_acc_in_idx] = 2  # corr output follows (div, dvel)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1101,6 +1160,8 @@ def compute_axis_flux_pallas(
     if has_avg or div_only:
         if emit_avg_flux:
             return outs[0], outs[1], outs[2]  # (div, dvel, F_avg)
+        if has_corr:
+            return outs[0], outs[1], outs[2]  # (div, dvel, corr)
         return outs[0], outs[1]  # (div, dvel)
     div_tail = tuple(outs[-2:]) if with_div else ()
     if wall:
@@ -1125,7 +1186,9 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
                               div_only: bool = False,
                               fo_mask: jnp.ndarray | None = None,
                               fo_from: jnp.ndarray | None = None,
-                              acc_init: tuple | None = None) -> dict:
+                              acc_init: tuple | None = None,
+                              corr_masks: dict | None = None,
+                              corr_init: jnp.ndarray | None = None) -> dict:
     """Sweep all axes once, emitting fluxes AND their divergence
     contributions from the same kernels (see `compute_axis_flux_pallas`
     ``dx_axis``). Returns a dict with keys ``fluxes``, ``facevels``,
@@ -1166,6 +1229,10 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
     out = {"fluxes": {}, "facevels": {}, "flux_hi": {}, "vel_hi": {},
            "divs": {}, "dvels": {}}
     acc = acc_init
+    corr = corr_init
+    has_corr = corr_masks is not None
+    if has_corr and not (div_only and accumulate):
+        raise ValueError("corr_masks requires div_only + accumulate")
     for d in opts.active_axes:
         bc_axis = None if bc_kinds is None else bc_kinds.get(d)
         avg_axis = None
@@ -1180,9 +1247,14 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
             emit_avg_flux=emit_avg_flux, state_is_cons=in_cons,
             acc=acc if accumulate else None,
             div_only=div_only, fo_mask=fo_mask, fo_from=fo_from,
+            corr_mask=corr_masks[d] if has_corr else None,
+            corr_acc=corr if has_corr else None,
         )
         if div_only:
-            if accumulate:
+            if has_corr:
+                acc = res[:2]
+                corr = res[2]
+            elif accumulate:
                 acc = res
             else:
                 out["divs"][d], out["dvels"][d] = res
@@ -1209,6 +1281,8 @@ def compute_fluxes_pallas_div(Ug: jnp.ndarray, opts: HydroOptions,
             out["dvels"][d] = dl
     if accumulate:
         out["div"], out["dvel"] = acc
+        if has_corr:
+            out["corr"] = corr
     return out
 
 

@@ -539,6 +539,51 @@ class LevelRadiation:
                 return substep_core(U, fill0, time, dt)
 
             self._substep = jax.jit(substep0)
+
+            # split-stage variant for the STREAMED register path
+            # (`subcycle(flux_reduce=...)`, the benchmark-scale root):
+            # each stage is its own program holding ONE flux set, and the
+            # per-stage faces are seeded into the register correction and
+            # freed immediately -- the one-program substep's arena (both
+            # flux sets + the averaged eff, ~3 GB at 256^3) does not fit
+            # next to benchmark-scale pools
+            def _src(U, time):
+                dt_ = jnp.asarray(time, U.dtype)
+                rs = jnp.asarray(
+                    problem.set_radiation_energy_source(grid, dt_), U.dtype
+                )
+                if multigroup and rs.ndim == 3:
+                    rs = jnp.broadcast_to(rs[None], (G, *rs.shape)) / G
+                return rs
+
+            def substep0_s1(U, time, dt):
+                dt = jnp.asarray(dt, U.dtype)
+                rad_src = _src(U, time)
+                Ug0 = fill0(U)
+                fluxes0 = compute_rad_fluxes(Ug0, rad_start_eff, opts,
+                                             active, dx)
+                divF0 = interior(rad_div_fluxes(fluxes0, dx), ng)
+                R0 = rad_part(U)
+                R1 = predict_step(R0, divF0, dt, opts)
+                U1 = with_rad(U, R1)
+                U1, _ = source_update(U1, rad_src, dt, 1)
+                return U1, divF0, fluxes0
+
+            def substep0_s2(U, U1, divF0, time, dt):
+                dt = jnp.asarray(dt, U.dtype)
+                rad_src = _src(U, time)
+                Ug1 = fill0(U1)
+                fluxes1 = compute_rad_fluxes(Ug1, rad_start_eff, opts,
+                                             active, dx)
+                divF1 = interior(rad_div_fluxes(fluxes1, dx), ng)
+                R_new = add_fluxes_rk2(rad_part(U), rad_part(U1), divF0,
+                                       divF1, dt, opts)
+                U2 = with_rad(U1, R_new)
+                U2, _ = source_update(U2, rad_src, dt, 2)
+                return U2, fluxes1
+
+            self._substep_s1 = jax.jit(substep0_s1)
+            self._substep_s2 = jax.jit(substep0_s2)
         else:
             def substepf(U, time, dt, mask, Uc_old, Uc_new, th_a, th_b):
                 def make_fill(theta):
@@ -604,8 +649,31 @@ class LevelRadiation:
         nsub = self.n_substeps(dt_level)
         dt_r = dt_level / nsub
         flux_sum = None
+        G = self.opts.n_groups
         for i in range(nsub):
             t_i = time + i * dt_r
+            if self.level == 0 and flux_reduce is not None:
+                # split-stage streamed path: each stage's faces are seeded
+                # (0.5/nsub weight each -- the eff average is linear) and
+                # freed before the other stage's exist
+                sync = getattr(self.sim, "sync_dispatch", False)
+                U1, divF0, F0 = self._substep_s1(U, t_i, dt_r)
+                if sync:
+                    jax.block_until_ready(U1)
+                flux_reduce(
+                    {d: F.reshape(4 * G, *F.shape[2:])
+                     for d, F in F0.items()}, 0.5 / nsub,
+                )
+                del F0
+                U, F1 = self._substep_s2(U, U1, divF0, t_i, dt_r)
+                if sync:
+                    jax.block_until_ready(U)
+                flux_reduce(
+                    {d: F.reshape(4 * G, *F.shape[2:])
+                     for d, F in F1.items()}, 0.5 / nsub,
+                )
+                del F1, U1, divF0
+                continue
             if self.level == 0:
                 U, eff = self._substep(U, t_i, dt_r)
             else:
