@@ -196,22 +196,37 @@ def run_amr_shell(n, max_level, steps, sparse=True):
         density_floor = 1.0e-8
         max_timesteps = {steps + 2}
         stop_time = 1.0e10
-        verbose = 0
+        verbose = {os.environ.get("QUOKKA_BENCH_AMR_VERBOSE", "0")}
         """
         + extra
     )
+    import sys as _sys
+    import time as _time
+
+    def _log(msg):
+        if os.environ.get("QUOKKA_BENCH_AMR_VERBOSE", "0") == "1":
+            print(f"[amr-bench {_time.strftime('%H:%M:%S')}] {msg}",
+                  file=_sys.stderr, flush=True)
+
     sim = AMRSimulation(RadhydroShellProblem(), pp, precision="single")
+    t0 = _time.perf_counter()
     sim.set_initial_conditions()
+    _log(f"ICs+regrid done in {_time.perf_counter()-t0:.0f}s")
     if os.environ.get("QUOKKA_BENCH_AMR_COMPACT", "1") == "1":
+        t0 = _time.perf_counter()
         _compact_device_state(sim)
+        _log(f"compaction done in {_time.perf_counter()-t0:.0f}s")
     # warm: compile + settle the hierarchy
     sim.max_timesteps = 2
+    t0 = _time.perf_counter()
     sim.evolve()
+    _log(f"warm evolve (2 steps) done in {_time.perf_counter()-t0:.0f}s")
     n0 = sim.cell_updates
     sim.max_timesteps = 2 + steps
     t0 = time.perf_counter()
     sim.evolve()
     elapsed = time.perf_counter() - t0
+    _log(f"timed evolve ({steps} steps) done in {elapsed:.0f}s")
     return (sim.cell_updates - n0) / elapsed / 1e6, sim.finest_level
 
 
