@@ -499,7 +499,7 @@ def main():
         ]
         for n_amr, lev_amr in ladder:
             r = leg(f"amr:{n_amr}:{lev_amr}",
-                    int(os.environ.get("QUOKKA_BENCH_AMR_TIMEOUT", "2400")))
+                    int(os.environ.get("QUOKKA_BENCH_AMR_TIMEOUT", "5400")))
             if "amr_active_mzones" in r:
                 result.update(r)
                 result["amr_config"] = f"shell {n_amr}^3 + {lev_amr} levels"

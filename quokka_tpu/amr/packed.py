@@ -69,7 +69,7 @@ LANE = 128
 # the runtime reserves many queued chunk programs' arenas concurrently,
 # which shows up as nondeterministic RESOURCE_EXHAUSTED at benchmark
 # scale; syncing every N chunks bounds in-flight arenas. 0 disables.
-_SYNC_CHUNKS = int(os.environ.get("QUOKKA_PACKED_SYNC_CHUNKS", "4"))
+_SYNC_CHUNKS = int(os.environ.get("QUOKKA_PACKED_SYNC_CHUNKS", "8"))
 
 
 def _throttle(ci, x):
