@@ -152,6 +152,13 @@ def run_amr_shell(n, max_level, steps, sparse=True):
     (4.95 Mzones/GPU/s on 4x V100)."""
     import time
 
+    # tighter dispatch throttling than the library default: at this scale
+    # even a few queued 128-tile chunk programs' concurrently-reserved
+    # arenas overflow the chip (observed as RESOURCE_EXHAUSTED at the
+    # first packed hydro advance with sync-every-8 x chunk-128); read at
+    # quokka_tpu.amr.packed import time, so set before importing
+    os.environ.setdefault("QUOKKA_PACKED_SYNC_CHUNKS", "1")
+
     from quokka_tpu import ParmParse
     from quokka_tpu.amr.hierarchy import AMRSimulation
     from quokka_tpu.problems.radhydro_shell import RadhydroShellProblem
@@ -178,7 +185,7 @@ def run_amr_shell(n, max_level, steps, sparse=True):
             "amr.pool_headroom = %s\n"
         ) % (
             os.environ.get("QUOKKA_BENCH_AMR_PACKED", "1"),
-            os.environ.get("QUOKKA_BENCH_AMR_CHUNK", "128"),
+            os.environ.get("QUOKKA_BENCH_AMR_CHUNK", "64"),
             os.environ.get("QUOKKA_BENCH_AMR_HEADROOM", "1.02"),
         )
     pp = ParmParse.from_string(
@@ -205,13 +212,34 @@ def run_amr_shell(n, max_level, steps, sparse=True):
 
     def _log(msg):
         if os.environ.get("QUOKKA_BENCH_AMR_VERBOSE", "0") == "1":
-            print(f"[amr-bench {_time.strftime('%H:%M:%S')}] {msg}",
+            mem = ""
+            try:
+                import jax
+
+                # the axon backend reports no memory_stats; a census of
+                # live jax.Arrays is the next-best device-allocation view
+                tot = sum(a.nbytes for a in jax.live_arrays())
+                mem = f" [live arrays {tot/2**30:.2f}G]"
+            except Exception:
+                pass
+            print(f"[amr-bench {_time.strftime('%H:%M:%S')}] {msg}{mem}",
                   file=_sys.stderr, flush=True)
 
     sim = AMRSimulation(RadhydroShellProblem(), pp, precision="single")
     t0 = _time.perf_counter()
     sim.set_initial_conditions()
     _log(f"ICs+regrid done in {_time.perf_counter()-t0:.0f}s")
+    for lv, st in enumerate(getattr(sim, "level_pool", [])):
+        if st is None or getattr(st, "meta", None) is None:
+            continue
+        m = st.meta
+        pool_b = sum(
+            getattr(st, a).nbytes
+            for a in ("Uh", "Ur", "U")
+            if getattr(st, a, None) is not None
+        )
+        _log(f"pool L{lv}: {m.n_active}/{m.capacity} tiles, "
+             f"state {pool_b/2**30:.2f}G")
     if os.environ.get("QUOKKA_BENCH_AMR_COMPACT", "1") == "1":
         t0 = _time.perf_counter()
         _compact_device_state(sim)

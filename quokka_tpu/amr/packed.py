@@ -70,11 +70,18 @@ LANE = 128
 # which shows up as nondeterministic RESOURCE_EXHAUSTED at benchmark
 # scale; syncing every N chunks bounds in-flight arenas. 0 disables.
 _SYNC_CHUNKS = int(os.environ.get("QUOKKA_PACKED_SYNC_CHUNKS", "8"))
+_DEBUG = os.environ.get("QUOKKA_PACKED_DEBUG", "0") == "1"
 
 
 def _throttle(ci, x):
     if _SYNC_CHUNKS and (ci + 1) % _SYNC_CHUNKS == 0:
         jax.block_until_ready(x)
+        if _DEBUG:
+            import sys as _sys
+
+            tot = sum(a.nbytes for a in jax.live_arrays())
+            print(f"[packed] chunk {ci} ok, live {tot/2**30:.2f}G",
+                  file=_sys.stderr, flush=True)
 
 
 # ------------------------------------------------------------------ packing
@@ -632,6 +639,18 @@ def fused_hydro_advance_packed(
     smax_all = jnp.zeros((), dtp)
     ok_all = jnp.asarray(True)
     n_live = -(-n_active // chunk)
+    if _DEBUG:
+        import sys as _sys
+
+        fb = sum(f.nbytes for f in Ffine.values()) if Ffine else 0
+        tot = sum(a.nbytes for a in jax.live_arrays())
+        print(
+            f"[packed] hydro_advance cap={cap} n_active={n_active} "
+            f"chunk={chunk} n_live={n_live} own_out={own_out} "
+            f"in_place={in_place} Uph={Uph.nbytes/2**30:.2f}G "
+            f"Ffine={fb/2**30:.2f}G live={tot/2**30:.2f}G",
+            file=_sys.stderr, flush=True,
+        )
     for ci in range(cap // chunk):
         i0 = ci * chunk
         if ci >= n_live:
